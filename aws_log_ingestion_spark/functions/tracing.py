@@ -1,0 +1,60 @@
+"""Trace-id extraction from NR_LAMBDA_MONITORING marker lines.
+
+Reference ``_get_trace_id`` (/root/reference/src/function.py:588-618):
+the marker line is a JSON array ``[1, "NR_LAMBDA_MONITORING", <b64>]``
+whose third element is base64(gzip(json)); the trace id lives at
+``data.analytic_event_data[2][0][0].traceId`` with a fallback to
+``data.span_event_data[2][0][0].traceId``; every failure yields "".
+
+gzip-inside-a-cell cannot be expressed in Catalyst, so this is one of the
+pipeline's two Python touchpoints — an Arrow-vectorized pandas UDF. Cost
+control comes from placement, not the UDF itself: callers must pre-filter
+to NR-marker rows (a tiny minority) so Arrow ships only surviving rows
+(SURVEY.md §4 item 4).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from base64 import b64decode
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def decode_trace_id_str(message: str) -> str:
+    """Pure-Python single-cell decode; '' on any failure (reference :616-618)."""
+    try:
+        arr = json.loads(message)
+        payload = json.loads(gzip.decompress(b64decode(arr[2])).decode("utf-8"))
+        data = payload["data"]
+    except Exception:
+        return ""
+    for key in ("analytic_event_data", "span_event_data"):
+        try:
+            trace_id = data[key][2][0][0]["traceId"]
+        except Exception:
+            continue
+        if trace_id:
+            return trace_id
+    return ""
+
+
+@pandas_udf("string")
+def decode_trace_id(messages: pd.Series) -> pd.Series:
+    """Vectorized (Arrow-batched) trace-id decode; '' when undecodable."""
+    return messages.map(decode_trace_id_str)
+
+
+def trace_id_raw(text: Column, is_nr_marker: Column) -> Column:
+    """Decode result on marker lines, NULL elsewhere.
+
+    Critically, a FAILED decode on a marker line yields '' (not NULL): the
+    reference RESETS the carried trace id on every marker line (:521-523),
+    so '' must flow into the forward-fill and clobber any earlier value.
+    Downstream attaches ``trace.id`` only when non-empty (:531-532) via
+    ``nullif(fill, '')``.
+    """
+    return F.when(is_nr_marker, decode_trace_id(text))

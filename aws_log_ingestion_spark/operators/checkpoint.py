@@ -1,0 +1,109 @@
+"""Per-stage lineage/metrics + idempotent resume.
+
+The reference's delivery guarantees live in HTTP retry + at-least-once
+Lambda semantics (/root/reference/src/function.py:136-177,286-306). The
+distributed analog (SURVEY.md §4 item 3): task-level retry is Spark's,
+commit atomicity is the sink write, and JOB-level resume is this module —
+a checkpoint table recording, per stage and sink, row counts and
+per-partition lineage, written after each successful sink commit. A
+re-run consults the manifest and skips (or verifies) completed sinks, so
+a mid-job kill converges to identical per-sink counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class CheckpointLog:
+    """JSON-lines manifest (one file per completed stage) under
+    ``<dir>/_checkpoints``. File-per-stage keeps writes atomic at the
+    filesystem level (rename-on-write); in the Iceberg deployment this is
+    an append to a checkpoint table, one atomic snapshot per stage."""
+
+    def __init__(self, out_dir: str, job_id: str | None = None):
+        self.dir = os.path.join(out_dir, "_checkpoints")
+        os.makedirs(self.dir, exist_ok=True)
+        self.job_id = job_id or uuid.uuid4().hex[:12]
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.dir, f"{stage}.json")
+
+    def is_done(self, stage: str) -> bool:
+        return os.path.exists(self._path(stage))
+
+    def record(self, stage: str, payload: dict) -> None:
+        tmp = self._path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"job_id": self.job_id, "stage": stage, "wall_time": time.time(), **payload},
+                f,
+                sort_keys=True,
+            )
+        os.replace(tmp, self._path(stage))
+
+    def read(self, stage: str) -> dict | None:
+        if not self.is_done(stage):
+            return None
+        with open(self._path(stage)) as f:
+            return json.load(f)
+
+    def clear(self) -> None:
+        for f in os.listdir(self.dir):
+            if f.endswith(".json"):
+                os.remove(os.path.join(self.dir, f))
+
+
+def partition_lineage(df: DataFrame) -> list[dict]:
+    """Per-partition row counts — the lineage record each stage emits."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    log: CheckpointLog,
+    stage: str,
+    order_cols=("conv_id", "turn_idx"),
+) -> int:
+    """Write one sink with observe() metrics + checkpoint record.
+
+    Returns the row count. If the stage is already checkpointed, the
+    write is skipped and the recorded count returned (idempotent resume).
+    ``observe`` rides the write job — no second scan for the count.
+    """
+    prior = log.read(stage)
+    if prior is not None:
+        return prior["rows"]
+    from pyspark.sql import Observation
+
+    obs = Observation(f"obs_{stage}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
+    rows = obs.get["rows"]
+    log.record(stage, {"rows": rows, "path": path})
+    return rows
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> dict:
+    """All recorded stages as {stage: payload}."""
+    ckpt_dir = os.path.join(out_dir, "_checkpoints")
+    result = {}
+    if not os.path.isdir(ckpt_dir):
+        return result
+    for fname in sorted(os.listdir(ckpt_dir)):
+        if fname.endswith(".json"):
+            with open(os.path.join(ckpt_dir, fname)) as f:
+                payload = json.load(f)
+            result[payload["stage"]] = payload
+    return result

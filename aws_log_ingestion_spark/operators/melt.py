@@ -1,0 +1,150 @@
+"""Logging (MELT) projection — the richest per-event transform.
+
+Re-expresses ``_package_log_payload`` (/root/reference/src/function.py:
+511-566) relationally. Per turn, in conversation order:
+
+  * trace-id refresh on NR-marker lines (decode UDF) + carry-forward to
+    all later turns; empty decode CLEARS the carry (:519-532)
+  * message/timestamp projection (:525-529) — epoch millis
+  * extra-key -> attributes copy with ``id`` dropped (:534-536); our
+    ``turn_idx`` plays the role of ``id`` — excluded from the payload,
+    kept only as the ordering key
+  * request-id extract + carry-forward, gated on the lambda log-group
+    prefix (:538-545)
+  * common attributes {plugin, aws:{logGroup, logStream}} (:549-562)
+
+IMPORTANT parity note: the logging path packages the UNFILTERED entry
+(:270 re-serializes the original log_entry) — every turn of every
+conversation appears here, unlike the infra-lambda sink.
+
+Output is flat (one column per payload field) rather than nested: flat
+columns stay pruneable/pushable at the parquet scan and are directly
+oracle-able; ``to_payload_struct`` folds them into the nested MELT shape
+when a JSON payload is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from ..config import PipelineConfig
+from ..functions import patterns as P
+from ..functions.tracing import trace_id_raw
+from .classify import with_log_group
+from .enrich import with_common_attributes
+
+
+def melt_project(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    decode_traces: bool = True,
+) -> DataFrame:
+    """Flat MELT projection over every turn (unfiltered).
+
+    Expects conv_id, turn_idx, text, tool, ts (+ optional enrichment
+    columns log_group_name/log_stream_name from the broadcast join).
+    ``decode_traces=False`` skips the pandas UDF (for oracle-able runs
+    where no marker is decodable anyway).
+    """
+    cfg = cfg or PipelineConfig()
+    if "log_group" not in df.columns:
+        df = with_log_group(df, cfg)
+
+    t = F.col("text")
+    is_nr = P.is_nr_marker(t)
+    run = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    # trace id: decode on marker rows only ('' on failure, NULL on
+    # non-marker rows), forward-fill, then ''->NULL for attachment
+    if decode_traces:
+        traw = trace_id_raw(t, is_nr)
+    else:
+        traw = F.when(is_nr, F.lit(""))
+    df = df.withColumn("__trace_raw", traw)
+    df = df.withColumn(
+        "trace_id", F.nullif(F.last("__trace_raw", ignorenulls=True).over(run), F.lit(""))
+    ).drop("__trace_raw")
+
+    # request id: extract (search semantics), gate on lambda prefix, fill
+    is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
+    rid = F.when(is_lambda_group, P.extract_request_id(t))
+    df = df.withColumn(
+        "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+    )
+
+    df = (
+        df.withColumn("message", t)
+        .withColumn("timestamp", F.unix_millis(F.col("ts").cast("timestamp")))
+        # extra event keys -> attributes (id/message/timestamp excluded):
+        # role and tool are the transcript table's "extra keys"
+        .withColumn("attr_role", F.col("role"))
+        .withColumn("attr_tool", F.col("tool"))
+    )
+    df = with_common_attributes(df, cfg)
+
+    keep = [
+        "conv_id",
+        "turn_idx",
+        "message",
+        "timestamp",
+        "trace_id",
+        "lambda_request_id",
+        "attr_role",
+        "attr_tool",
+        "plugin_type",
+        "plugin_version",
+        "log_group",
+    ]
+    for extra in ("log_group_name", "log_stream_name", "owner"):
+        if extra in df.columns:
+            keep.append(extra)
+    keep += [c for c in df.columns if c.startswith("tag_")]
+    return df.select(*keep)
+
+
+def to_payload_struct(melted: DataFrame) -> DataFrame:
+    """Fold flat MELT columns into the nested reference payload shape:
+    ``{common:{attributes:{plugin, aws}}, logs:[{message, timestamp,
+    trace.id?, attributes}]}`` grouped per conversation.
+    """
+    log_msg = F.struct(
+        F.col("message"),
+        F.col("timestamp"),
+        F.col("trace_id").alias("trace.id"),
+        F.struct(
+            F.struct(F.col("lambda_request_id")).alias("aws"),
+            F.col("attr_role").alias("role"),
+            F.col("attr_tool").alias("tool"),
+        ).alias("attributes"),
+    )
+    common = F.struct(
+        F.struct(
+            F.struct(
+                F.col("plugin_type").alias("type"),
+                F.col("plugin_version").alias("version"),
+            ).alias("plugin"),
+            F.struct(
+                F.coalesce(F.col("log_stream_name"), F.lit("")).alias("logStream")
+                if "log_stream_name" in melted.columns
+                else F.lit("").alias("logStream"),
+                F.col("log_group").alias("logGroup"),
+            ).alias("aws"),
+        ).alias("attributes")
+    )
+    return (
+        melted.withColumn("__log", log_msg)
+        .withColumn("__common", common)
+        .groupBy("conv_id")
+        .agg(
+            F.any_value(F.col("__common")).alias("common"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("__log").alias("log")))
+            ).alias("__ordered"),
+        )
+        .withColumn("logs", F.transform(F.col("__ordered"), lambda x: x["log"]))
+        .drop("__ordered")
+    )

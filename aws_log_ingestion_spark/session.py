@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the pipeline.
+
+Local-mode knobs are proxies for cluster settings: on a real 1000-executor
+cluster the same builder is used with ``master`` unset (picked up from
+spark-submit) and ``spark.sql.shuffle.partitions`` sized to ~2-3x total
+cores. AQE is on so the shuffle partition count self-corrects at runtime
+(coalesce for small stages, skew-split for hot conversations).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transcript-log-pipeline",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores=None`` leaves the master to spark-submit (cluster mode); an
+    integer forces ``local[cores]`` (tests / bench). Shuffle partitions
+    default to 2x cores locally — AQE coalesces down when input is small.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if cores is not None:
+        builder = builder.master(f"local[{cores}]")
+        if shuffle_partitions is None:
+            shuffle_partitions = max(2 * cores, 8)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batches feed the two pandas UDFs; 10k rows balances Python
+        # worker latency against per-batch memory for long text columns.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
