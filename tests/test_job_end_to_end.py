@@ -1,0 +1,103 @@
+"""End-to-end pipeline: routed sink writes, per-sink counts vs the
+reference oracle, and kill-and-resume idempotency (BASELINE.md targets)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.config import PipelineConfig
+from aws_log_ingestion_spark.operators import checkpoint as ckpt
+from aws_log_ingestion_spark.plans.job import run_pipeline
+from aws_log_ingestion_spark.sources import datagen
+from reference_oracle import (
+    load_reference,
+    oracle_entry_type,
+    oracle_filtered_messages,
+    rows_to_entry,
+)
+
+
+def _expected_counts():
+    """Per-sink row counts computed with the reference's own functions."""
+    counts = {"infra_lambda_rows": 0, "infra_vpc_rows": 0, "infra_other_rows": 0, "logging_rows": 0}
+    names = sorted(datagen.TEMPLATES)
+    for i, name in enumerate(names):
+        conv_id = f"c{i}"
+        rows = datagen.template_rows(name, conv_id)
+        tool = rows[0]["tool"]
+        entry = rows_to_entry(rows, datagen.log_group_for(tool, conv_id), "s", "o")
+        etype = oracle_entry_type(entry)
+        if etype == "lambda":
+            counts["infra_lambda_rows"] += len(oracle_filtered_messages(entry))
+        elif etype == "vpc":
+            counts["infra_vpc_rows"] += len(rows)
+        else:
+            counts["infra_other_rows"] += len(rows)
+        counts["logging_rows"] += len(rows)  # unfiltered tee (reference :270)
+    return counts
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline_out"))
+
+
+def test_per_sink_counts_match_reference(spark, template_df, template_meta_df, run_dir):
+    cfg = PipelineConfig(logging_enabled=True)
+    result = run_pipeline(spark, template_df, template_meta_df, run_dir, cfg, resume=False)
+    assert result["counts"] == _expected_counts()
+
+
+def test_sink_files_ordered_and_readable(spark, run_dir):
+    lam = spark.read.parquet(f"{run_dir}/infra_lambda")
+    assert lam.count() > 0
+    # per-turn order within each conversation is reconstructible
+    idx = sorted(datagen.TEMPLATES).index("lambda_full")
+    got = lam.filter(F.col("conv_id") == f"c{idx}").orderBy("turn_idx").select("text").collect()
+    assert [r["text"] for r in got] == [datagen.NR_SHORT, datagen.REPORT]
+
+
+def test_chunk_manifest_written(run_dir):
+    manifest = ckpt.read_manifest(None, run_dir)
+    assert "chunks" in manifest
+    totals = manifest["chunks"]["totals"]
+    assert {t["path"] for t in totals} == {"infra", "logging"}
+    by = {(t["sink"], t["path"]): t for t in totals}
+    # logging tee covers every conversation regardless of sink
+    names = sorted(datagen.TEMPLATES)
+    assert sum(t["n_convs"] for t in totals if t["path"] == "logging") == len(names)
+    # every replayed chunk respects the 1 MB cap at default config
+    assert all(t["max_chunk_bytes"] < 1000 * 1024 for t in totals)
+
+
+def test_resume_is_idempotent(spark, template_df, template_meta_df, run_dir):
+    """Re-running over an existing checkpoint dir reproduces identical
+    counts without rewriting (manifest wall-times unchanged)."""
+    before = ckpt.read_manifest(None, run_dir)
+    cfg = PipelineConfig(logging_enabled=True)
+    result2 = run_pipeline(spark, template_df, template_meta_df, run_dir, cfg, resume=True)
+    after = ckpt.read_manifest(None, run_dir)
+    assert result2["counts"] == _expected_counts()
+    for stage, payload in before.items():
+        assert after[stage]["wall_time"] == payload["wall_time"], f"{stage} was rewritten"
+
+
+def test_partial_failure_resume(spark, template_df, template_meta_df, tmp_path):
+    """Simulate a mid-job kill: complete only 2 of 4 sinks, then resume —
+    final counts equal a clean run's."""
+    out = str(tmp_path / "partial")
+    cfg = PipelineConfig(logging_enabled=True)
+    from aws_log_ingestion_spark.operators.route import infra_rows
+    from aws_log_ingestion_spark.plans.job import prepare
+
+    log = ckpt.CheckpointLog(out)
+    hub = prepare(template_df, template_meta_df, cfg)
+    for sink in ("lambda", "vpc"):  # job dies after two sinks
+        ckpt.observed_write(infra_rows(hub, sink, cfg), f"{out}/infra_{sink}", log, f"infra_{sink}")
+    assert not log.is_done("infra_other") and not log.is_done("logging")
+
+    result = run_pipeline(spark, template_df, template_meta_df, out, cfg, resume=True)
+    assert result["counts"] == _expected_counts()

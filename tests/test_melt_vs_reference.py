@@ -1,0 +1,86 @@
+"""Differential tests for the MELT (logging) projection vs
+``_package_log_payload`` (/root/reference/src/function.py:511-566)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.operators.melt import melt_project, to_payload_struct
+from aws_log_ingestion_spark.sources import datagen
+from reference_oracle import oracle_melt, rows_to_entry
+
+
+def _oracle_logs(name: str, conv_id: str) -> list[dict]:
+    rows = datagen.template_rows(name, conv_id)
+    tool = rows[0]["tool"]
+    entry = rows_to_entry(
+        rows, datagen.log_group_for(tool, conv_id), "stream-1", "463657938898"
+    )
+    return oracle_melt(entry)[0]["logs"]
+
+
+@pytest.fixture(scope="module")
+def melted(template_df):
+    return melt_project(template_df).cache()
+
+
+def _spark_logs(melted, conv_id: str) -> list[dict]:
+    return [
+        r.asDict()
+        for r in melted.filter(F.col("conv_id") == conv_id).orderBy("turn_idx").collect()
+    ]
+
+
+@pytest.mark.parametrize("name", sorted(datagen.TEMPLATES))
+def test_melt_per_turn_parity(melted, name):
+    """message, timestamp, trace.id and lambda_request_id match the
+    reference per turn, in order — including the trace-clear semantics
+    (failed NR decode resets the carry) and the unfiltered-tee property
+    (every turn appears, even non-lambda sinks)."""
+    idx = sorted(datagen.TEMPLATES).index(name)
+    conv_id = f"c{idx}"
+    expected = _oracle_logs(name, conv_id)
+    got = _spark_logs(melted, conv_id)
+    assert len(got) == len(expected), f"{name}: row count"
+    for g, e in zip(got, expected):
+        assert g["message"] == e["message"]
+        assert g["timestamp"] == e["timestamp"]
+        assert g["trace_id"] == e.get("trace.id"), f"{name} turn {g['turn_idx']}"
+        assert g["lambda_request_id"] == e["attributes"]["aws"].get(
+            "lambda_request_id"
+        ), f"{name} turn {g['turn_idx']}"
+
+
+def test_trace_decode_and_clear(melted):
+    """trace_fill template: decodable marker attaches trace-abc-123 to its
+    own and following turns; the later undecodable marker CLEARS it."""
+    idx = sorted(datagen.TEMPLATES).index("trace_fill")
+    got = [r["trace_id"] for r in melted.filter(F.col("conv_id") == f"c{idx}").orderBy("turn_idx").collect()]
+    assert got == [None, "trace-abc-123", "trace-abc-123", None, None]
+
+
+def test_trace_decode_span_fallback(spark):
+    """_get_trace_id falls back to span_event_data (reference :611-615)."""
+    from aws_log_ingestion_spark.functions.tracing import decode_trace_id_str
+
+    line = datagen.nr_marker_with_trace("span-trace-9", key="span_event_data")
+    assert decode_trace_id_str(line) == "span-trace-9"
+    assert decode_trace_id_str(datagen.NR_SHORT) == ""
+    assert decode_trace_id_str("not json at all") == ""
+
+
+def test_payload_struct_shape(template_df):
+    """Nested fold: one row per conversation, logs ordered by turn."""
+    folded = to_payload_struct(melt_project(template_df)).collect()
+    assert len(folded) == len(datagen.TEMPLATES)
+    by_conv = {r["conv_id"]: r for r in folded}
+    idx = sorted(datagen.TEMPLATES).index("plain_multi")
+    logs = by_conv[f"c{idx}"]["logs"]
+    assert [l["message"] for l in logs] == ["Test Message 1", "Test Message 2", "Test Message 3"]
+    common = by_conv[f"c{idx}"]["common"]
+    assert common["attributes"]["plugin"]["version"] == "2.11.2"
+
+
+def test_melt_is_unfiltered_tee(melted, template_df):
+    assert melted.count() == template_df.count()
