@@ -1,38 +1,564 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship route-counts pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2 plus
+the training-data operators; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. The transcript input is synthesised deterministically from the
+``events`` table by ONE dialect-shared SQL template
+(aws_log_ingestion_spark/sources/derive.py), so Spark and DuckDB consume
+byte-identical inputs.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_log_ingestion_spark.config import PipelineConfig
+from aws_log_ingestion_spark.functions import patterns as P
+from aws_log_ingestion_spark.operators import dedup, similarity, text_analysis
+from aws_log_ingestion_spark.operators import multimodal
+from aws_log_ingestion_spark.operators.chunks import chunk_replay, chunk_totals
+from aws_log_ingestion_spark.operators.classify import classify
+from aws_log_ingestion_spark.operators.enrich import enrich
+from aws_log_ingestion_spark.operators.melt import melt_project
+from aws_log_ingestion_spark.operators.route import infra_rows, route_counts
+from aws_log_ingestion_spark.sources import derive
+from aws_log_ingestion_spark.sources.datagen import nr_marker_with_trace
+
+# ---------------------------------------------------------------- helpers
+
+_DUCK_T = derive.transcripts_cte("duckdb")  # "(SELECT ... FROM events)"
+_DUCK_META = "(" + derive.conv_meta_sql("duckdb") + ")"
+
+# DuckDB-side flag expressions (same regexes as functions/patterns.py;
+# regexp_matches is search semantics == Spark rlike)
+_D_REPORT = "regexp_matches(text, '" + P.REPORT + "')"
+_D_NR = "regexp_matches(text, '" + P.NR_MONITORING + "')"
+_D_TIMEOUT = "regexp_matches(text, '" + P.TIMEOUT + "')"
+_D_KILL = "regexp_matches(text, '" + P.RUNTIME_KILL + "')"
+_D_LMSG = "(" + _D_NR + " OR " + _D_TIMEOUT + " OR " + _D_KILL + ")"
+_D_RID = "NULLIF(regexp_extract(text, '" + P.REQUEST_ID + "', 1), '')"
+_D_LOG_GROUP = derive.LOG_GROUP_CASE
+
+_D_SINK = (
+    "CASE WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/vpc/flow-logs') THEN 'vpc' "
+    "WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/lambda') AND "
+    "MAX(CASE WHEN " + _D_LMSG + " THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id) = 1 "
+    "THEN 'lambda' ELSE 'other' END"
+)
+
+_RUN = (
+    "OVER (PARTITION BY conv_id ORDER BY turn_idx "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+_D_NORM_DOC = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive.transcripts_from_events(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_ts_ms(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))).drop("ts")
+
+
+# ---------------------------------------------------------------- queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse->classify->route count pipeline at sf0.001."""
+    sf = "/root/testdata/sf0.001"
+    t = _transcripts(spark, sf)
+    return route_counts(classify(t), PipelineConfig(logging_enabled=True))
+
+
+def q_transcripts_derive(spark, sf_dir):
+    return _with_ts_ms(_transcripts(spark, sf_dir))
+
+
+def q_parse_flags(spark, sf_dir):
+    t = F.col("text")
+    return _transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        P.is_report(t).cast("int").alias("is_report"),
+        P.is_nr_marker(t).cast("int").alias("is_nr"),
+        P.is_timeout(t).cast("int").alias("is_timeout"),
+        P.is_runtime_kill(t).cast("int").alias("is_kill"),
+        P.extract_request_id(t).alias("req_id"),
+    )
+
+
+def q_classify_sinks(spark, sf_dir):
+    return (
+        classify(_transcripts(spark, sf_dir))
+        .select("conv_id", "tool", "sink")
+        .distinct()
+    )
+
+
+def q_route_counts(spark, sf_dir):
+    return route_counts(
+        classify(_transcripts(spark, sf_dir)), PipelineConfig(logging_enabled=True)
+    )
+
+
+def q_infra_lambda_filtered(spark, sf_dir):
+    return infra_rows(classify(_transcripts(spark, sf_dir)), "lambda").select(
+        "conv_id", "turn_idx", "text"
+    )
+
+
+def q_agent_reformat(spark, sf_dir):
+    return _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", P.format_agent_logs(F.col("text")).alias("text_fmt")
+    )
+
+
+def q_request_id_fill(spark, sf_dir):
+    return classify(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "lambda_request_id"
+    )
+
+
+def q_melt_shape(spark, sf_dir):
+    return melt_project(_transcripts(spark, sf_dir), decode_traces=True)
+
+
+def q_conv_meta_derive(spark, sf_dir):
+    return derive.conv_meta_from_events(spark, sf_dir)
+
+
+def q_enrich_owner(spark, sf_dir):
+    t = _transcripts(spark, sf_dir)
+    meta = derive.conv_meta_from_events(spark, sf_dir)
+    return enrich(t, meta).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "owner",
+        "function_name",
+        "log_group_name",
+        "log_stream_name",
+    )
+
+
+def q_trace_decode(spark, sf_dir):
+    """Exercise the gzip trace-decode pandas UDF on a decodable marker."""
+    from aws_log_ingestion_spark.functions.tracing import decode_trace_id
+
+    marker = nr_marker_with_trace("tr-fixed")
+    convs = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("tool") == "lambda")
+        .select("conv_id")
+        .distinct()
+    )
+    return convs.withColumn("trace_id", decode_trace_id(F.lit(marker)))
+
+
+def q_chunk_counts(spark, sf_dir):
+    return _chunk_counts(spark, sf_dir, PipelineConfig(logging_enabled=True))
+
+
+def q_chunk_counts_small_cap(spark, sf_dir):
+    return _chunk_counts(
+        spark, sf_dir, PipelineConfig(logging_enabled=True, max_payload_size=2000)
+    )
+
+
+def _chunk_counts(spark, sf_dir, cfg):
+    t = _transcripts(spark, sf_dir)
+    meta = derive.conv_meta_from_events(spark, sf_dir)
+    hub = enrich(classify(t, cfg), meta)
+    infra_all = None
+    for sink in ("lambda", "vpc", "other"):
+        part = infra_rows(hub, sink, cfg)
+        infra_all = part if infra_all is None else infra_all.unionByName(part)
+    stats = chunk_replay(infra_all, "infra", cfg).unionByName(
+        chunk_replay(hub, "logging", cfg)
+    )
+    return chunk_totals(stats).orderBy("sink", "path")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=5, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_planes=8)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_lang_id(spark, sf_dir):
+    return text_analysis.lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return text_analysis.quality_score(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    return text_analysis.token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text_analysis.fingerprint(_docs(spark, sf_dir))
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", "n_fingerprints"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, every_n_bytes=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts_derive": q_transcripts_derive,
+        "parse_flags": q_parse_flags,
+        "classify_sinks": q_classify_sinks,
+        "route_counts": q_route_counts,
+        "infra_lambda_filtered": q_infra_lambda_filtered,
+        "agent_reformat": q_agent_reformat,
+        "request_id_fill": q_request_id_fill,
+        "melt_shape": q_melt_shape,
+        "conv_meta_derive": q_conv_meta_derive,
+        "enrich_owner": q_enrich_owner,
+        "trace_decode": q_trace_decode,
+        "chunk_counts": q_chunk_counts,
+        "chunk_counts_small_cap": q_chunk_counts_small_cap,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracle SQL
+
+
+def _sql_transcripts_derive() -> str:
+    return "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, role, text, tool, epoch_ms(ts) AS ts_ms FROM t"
+
+
+def _sql_parse_flags() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, "
+        "CAST(" + _D_REPORT + " AS INT) AS is_report, "
+        "CAST(" + _D_NR + " AS INT) AS is_nr, "
+        "CAST(" + _D_TIMEOUT + " AS INT) AS is_timeout, "
+        "CAST(" + _D_KILL + " AS INT) AS is_kill, "
+        + _D_RID + " AS req_id FROM t"
+    )
+
+
+def _sql_classify_sinks() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", c AS (SELECT conv_id, tool, "
+        + _D_SINK + " AS sink FROM t) SELECT DISTINCT conv_id, tool, sink FROM c"
+    )
+
+
+def _sql_route_counts() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", c AS (SELECT text, " + _D_SINK + " AS sink FROM t) "
+        "SELECT "
+        "SUM(CASE WHEN sink='lambda' AND (" + _D_REPORT + " OR " + _D_LMSG + ") THEN 1 ELSE 0 END) AS infra_lambda_rows, "
+        "SUM(CASE WHEN sink='vpc' THEN 1 ELSE 0 END) AS infra_vpc_rows, "
+        "SUM(CASE WHEN sink='other' THEN 1 ELSE 0 END) AS infra_other_rows, "
+        "COUNT(*) AS logging_rows FROM c"
+    )
+
+
+def _sql_infra_lambda_filtered() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", c AS (SELECT conv_id, turn_idx, text, "
+        + _D_SINK + " AS sink FROM t) "
+        "SELECT conv_id, turn_idx, text FROM c WHERE sink='lambda' AND ("
+        + _D_REPORT + " OR " + _D_LMSG + ")"
+    )
+
+
+def _sql_agent_reformat() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, "
+        "CASE WHEN len(string_split(text, chr(9))) = 4 "
+        "THEN string_split(text, chr(9))[4] ELSE text END AS text_fmt FROM t"
+    )
+
+
+def _sql_request_id_fill() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, "
+        "last_value(CASE WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/lambda') THEN "
+        + _D_RID + " END IGNORE NULLS) " + _RUN + " AS lambda_request_id FROM t"
+    )
+
+
+def _sql_melt_shape() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, text AS message, "
+        "epoch_ms(ts) AS timestamp, "
+        "NULLIF(last_value(CASE WHEN " + _D_NR + " THEN '' END IGNORE NULLS) "
+        + _RUN + ", '') AS trace_id, "
+        "last_value(CASE WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/lambda') THEN "
+        + _D_RID + " END IGNORE NULLS) " + _RUN + " AS lambda_request_id, "
+        "role AS attr_role, tool AS attr_tool, "
+        "'lambda' AS plugin_type, '2.11.2' AS plugin_version, "
+        + _D_LOG_GROUP + " AS log_group FROM t"
+    )
+
+
+def _sql_conv_meta_derive() -> str:
+    return derive.conv_meta_sql("duckdb")
+
+
+def _sql_enrich_owner() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", m AS " + _DUCK_META + " "
+        "SELECT t.conv_id, t.turn_idx, t.tool, m.owner, m.function_name, "
+        "m.log_group_name, m.log_stream_name "
+        "FROM t LEFT JOIN m ON t.conv_id = m.conv_id AND t.tool = m.tool"
+    )
+
+
+def _sql_trace_decode() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " SELECT DISTINCT conv_id, 'tr-fixed' AS trace_id "
+        "FROM t WHERE tool = 'lambda'"
+    )
+
+
+_D_DOCS_NORM = (
+    "(SELECT doc_id, " + _D_NORM_DOC + " AS t FROM documents)"
+)
+
+_D_SHINGLES = (
+    "(SELECT DISTINCT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+2 AS INT)], ' ') AS shingle "
+    "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i "
+    "FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs) ws) x)"
+)
+
+
+def _sql_dedup_exact() -> str:
+    return (
+        "WITH h AS (SELECT doc_id, md5(" + _D_NORM_DOC + ") AS text_hash FROM documents) "
+        "SELECT doc_id, text_hash, MIN(doc_id) OVER (PARTITION BY text_hash) AS keep_id, "
+        "CAST(doc_id != MIN(doc_id) OVER (PARTITION BY text_hash) AS INT) AS is_duplicate FROM h"
+    )
+
+
+def _sql_dedup_ngram_jaccard(threshold_x1000: int = 200) -> str:
+    return (
+        "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, inter, sa.n_sh AS na, sb.n_sh AS nb, "
+        "CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_x1000 "
+        "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id "
+        "JOIN sizes sb ON inter.id_b = sb.doc_id "
+        f"WHERE CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) >= {threshold_x1000}"
+    )
+
+
+# quantized (x1000 scaled-integer) embeddings: exact integer-valued doubles
+# make the cosine bit-identical across engines (similarity.quantize)
+_D_QUANT = "CAST(list_transform({COL}, x -> round(CAST(x AS DOUBLE) * 1000)) AS DOUBLE[])"
+_D_COS = (
+    "(list_inner_product(qe, ne) / "
+    "(sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ne, ne))))"
+)
+
+
+def _sql_ann_cosine_topk() -> str:
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        + _D_QUANT.format(COL="embedding")
+        + " AS qe FROM embeddings WHERE vec_id < 5), "
+        "c AS (SELECT vec_id AS neighbor_id, "
+        + _D_QUANT.format(COL="embedding")
+        + " AS ne FROM embeddings), "
+        "scored AS (SELECT query_id, neighbor_id, " + _D_COS + " AS cos "
+        "FROM c, q WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, "
+        "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
+        "SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= 10"
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    return (
+        "WITH a AS (SELECT vec_id AS id_a, "
+        + _D_QUANT.format(COL="embedding")
+        + " AS qe FROM embeddings), "
+        "b AS (SELECT vec_id AS id_b, "
+        + _D_QUANT.format(COL="embedding")
+        + " AS ne FROM embeddings) "
+        "SELECT id_a, id_b, CAST(FLOOR(" + _D_COS + " * 1000000) AS BIGINT) AS cos_x1e6 "
+        "FROM a, b WHERE id_a < id_b AND " + _D_COS + " >= 0.35"
+    )
+
+
+def _d_count_word(w: str) -> str:
+    return "len(list_filter(w, x -> x = '" + w + "'))"
+
+
+def _sql_lang_id() -> str:
+    from aws_log_ingestion_spark.operators.text_analysis import LANG_MARKERS
+
+    counts = {
+        lang: " + ".join(_d_count_word(w) for w in ws) for lang, ws in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"({c})" for c in counts.values()) + ")"
+    return (
+        "WITH w AS (SELECT doc_id, lang, string_split(" + _D_NORM_DOC + ", ' ') AS w, text "
+        "FROM documents), c AS (SELECT doc_id, lang, "
+        + ", ".join(f"({c}) AS c_{lang}" for lang, c in counts.items())
+        + ", len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk FROM w) "
+        "SELECT doc_id, lang AS labeled_lang, c_en, c_de, c_fr, c_es, "
+        "CASE WHEN n_cjk > 0 THEN 'zh' "
+        "WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown' "
+        "WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en' "
+        "WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de' "
+        "WHEN c_fr = GREATEST(c_en, c_de, c_fr, c_es) THEN 'fr' "
+        "ELSE 'es' END AS pred_lang FROM c"
+    )
+
+
+def _sql_quality_score() -> str:
+    from aws_log_ingestion_spark.operators.text_analysis import STOPWORDS
+
+    n_stop = " + ".join(_d_count_word(w) for w in STOPWORDS)
+    return (
+        "WITH w AS (SELECT doc_id, text, string_split(" + _D_NORM_DOC + ", ' ') AS w FROM documents), "
+        "f AS (SELECT doc_id, length(text) AS n_chars_obs, len(w) AS n_words, "
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct, "
+        "(" + n_stop + ") AS n_stopwords FROM w) "
+        "SELECT doc_id, n_chars_obs, n_words, "
+        "CASE WHEN n_words > 0 THEN CAST(FLOOR(n_chars_obs * 100 / n_words) AS BIGINT) ELSE 0 END AS mean_word_len_x100, "
+        "n_punct, n_stopwords, "
+        "CAST(GREATEST(0, 100 "
+        "- CASE WHEN n_words < 5 THEN 40 ELSE 0 END "
+        "- CASE WHEN n_chars_obs < 20 THEN 20 ELSE 0 END "
+        "- CASE WHEN n_punct * 4 > n_chars_obs THEN 20 ELSE 0 END "
+        "- CASE WHEN n_stopwords = 0 THEN 10 ELSE 0 END) AS INT) AS quality FROM f"
+    )
+
+
+def _sql_token_count() -> str:
+    from aws_log_ingestion_spark.operators.text_analysis import BPE_TOKEN_RE
+
+    return (
+        "SELECT doc_id, "
+        "len(string_split(" + _D_NORM_DOC + ", ' ')) AS n_ws_tokens, "
+        "len(regexp_extract_all(text, '" + BPE_TOKEN_RE + "')) AS n_bpe_tokens, "
+        "octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents"
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    return (
+        "SELECT doc_id, md5(" + _D_NORM_DOC + ") AS fp_md5, "
+        "substring(md5(" + _D_NORM_DOC + "), 1, 4) AS fp_bucket FROM documents"
+    )
+
+
+def _sql_frame_sample() -> str:
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' "
+        "ELSE 'video/mp4' END AS media_type, "
+        "octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents) "
+        "SELECT doc_id, media_type, CAST(i / 64 AS INT) AS frame_idx, "
+        "CAST(i AS BIGINT) AS byte_offset "
+        "FROM (SELECT doc_id, media_type, "
+        "unnest(range(0, GREATEST(n_bytes - 1, 0) + 1, 64)) AS i FROM m) x"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts_derive": _sql_transcripts_derive(),
+        "parse_flags": _sql_parse_flags(),
+        "classify_sinks": _sql_classify_sinks(),
+        "route_counts": _sql_route_counts(),
+        "infra_lambda_filtered": _sql_infra_lambda_filtered(),
+        "agent_reformat": _sql_agent_reformat(),
+        "request_id_fill": _sql_request_id_fill(),
+        "melt_shape": _sql_melt_shape(),
+        "conv_meta_derive": _sql_conv_meta_derive(),
+        "enrich_owner": _sql_enrich_owner(),
+        "trace_decode": _sql_trace_decode(),
+        # chunk_counts / chunk_counts_small_cap: gzip byte arithmetic is not
+        # SQL-expressible -> rows-only check (see SURVEY.md §2 row 16)
+        "dedup_exact": _sql_dedup_exact(),
+        "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
+        # dedup_minhash_lsh / dedup_simhash: xxhash64-dependent -> rows-only
+        "ann_cosine_topk": _sql_ann_cosine_topk(),
+        # ann_lsh: approximate by design -> rows-only
+        "embedding_neardup": _sql_embedding_neardup(),
+        "lang_id": _sql_lang_id(),
+        "quality_score": _sql_quality_score(),
+        "token_count": _sql_token_count(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
+        # winnow_fingerprint / multimodal_features: Python-side rolling hash /
+        # binary feature extraction -> rows-only
+        "frame_sample": _sql_frame_sample(),
+    }

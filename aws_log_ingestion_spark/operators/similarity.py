@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the exactness baseline (crossJoin + JVM-side
+zip_with/aggregate dot product — no Python); the LSH/IVF-bucketed variant
+is the 100 TB path: candidates come from sign-pattern buckets so the join
+touches a small fraction of pairs. Cosine values are IEEE-deterministic
+(double accumulation in array order) — the SQL oracle reproduces them
+bit-for-bit; outputs also carry a rounded integer form for hash-stable
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def quantize(emb: Column, scale: int = 1000) -> Column:
+    """Scaled-integer quantization of a float32 embedding (as doubles).
+
+    Integer-valued doubles make every downstream dot/norm EXACT (sums
+    stay < 2^53), so cosine scores are bit-identical across engines and
+    hardware — the property the SQL oracle requires, and the same trick
+    int8/int16 ANN quantization uses at scale. Round is half-away-from-
+    zero in both Spark (HALF_UP) and DuckDB."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * scale))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: first ``n_queries`` vectors (by vec_id) against
+    the whole table. The query side is tiny -> broadcast crossJoin keeps
+    the big side shuffle-free; ranking window partitions by query.
+    """
+    from pyspark.sql import Window as W
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), quantize(F.col("embedding")).alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), quantize(F.col("embedding")).alias("n_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("n_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
+def sign_bucket(emb_col: Column, n_planes: int = 8) -> Column:
+    """Sign-pattern bucket id from the first ``n_planes`` dimensions.
+
+    A deterministic stand-in for random-hyperplane LSH (the hyperplanes
+    are the axis planes of the leading dimensions): vectors in the same
+    orthant of the leading subspace share a bucket. For unit-ish random
+    embeddings this gives ~2^n_planes balanced buckets.
+    """
+    bits = [
+        F.when(F.element_at(emb_col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Bucketed approximate top-k: only candidates in the query's orthant
+    bucket are scored. At 100 TB the bucket column is a partition key —
+    the scan prunes to matching buckets instead of crossJoining the world.
+    Approximate (no SQL oracle; driver rows-only check).
+    """
+    from pyspark.sql import Window as W
+
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col("embedding"), n_planes))
+    q = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("n_bucket") == F.col("q_bucket"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_emb"), F.col("n_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force, exact).
+
+    vec_id a < b with cosine >= threshold. The n^2 scan is the
+    correctness baseline; ``lsh_topk``'s bucketing is the scale path.
+    """
+    a = emb.select(F.col("vec_id").alias("id_a"), quantize(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), quantize(F.col("embedding")).alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.floor(F.col("cos") * 1000000).cast("long").alias("cos_x1e6")
+        )
+    )

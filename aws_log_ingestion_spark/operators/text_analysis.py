@@ -1,0 +1,173 @@
+"""Text analysis for training-data pipelines over the ``documents`` table.
+
+All four operators are pure Catalyst expressions (no UDFs): language-ID
+(marker-word heuristic), quality scoring, token counting (whitespace +
+BPE-ish regex), and document fingerprinting. Each has an exact ANSI-SQL
+oracle; the computations are deliberately integer/string-valued so
+cross-engine hashing is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# BPE-ish tokenizer: letter runs | digit runs | single punctuation
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
+
+# language marker words for the n-gram/keyword heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "los", "y"],
+}
+
+
+def _norm_words(text: Column) -> Column:
+    return F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
+
+
+def _count_word(words: Column, w: str) -> Column:
+    return F.size(F.filter(words, lambda x: x == F.lit(w)))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    words = _norm_words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.octet_length(F.col("text")).alias("n_bytes"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic integer quality features + a 0-100 score.
+
+    Features: length, word count, mean word length (x100), punctuation
+    count, stopword count. Score: starts at 100, docked for extremes —
+    the shape of heuristic quality filters in web-scale corpora.
+    """
+    words = _norm_words(F.col("text"))
+    n_words = F.size(words)
+    n_chars = F.length(F.col("text"))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
+    n_stop = sum((_count_word(words, w) for w in STOPWORDS), F.lit(0))
+    # floor, not cast: DuckDB casts double->int by rounding while Spark
+    # truncates — floor is the portable choice for the SQL oracle
+    mean_word_len_x100 = F.when(
+        n_words > 0, F.floor(n_chars * 100 / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    score = (
+        F.lit(100)
+        - F.when(n_words < 5, 40).otherwise(0)
+        - F.when(n_chars < 20, 20).otherwise(0)
+        - F.when(n_punct * 4 > n_chars, 20).otherwise(0)
+        - F.when(n_stop == 0, 10).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_words.alias("n_words"),
+        mean_word_len_x100.alias("mean_word_len_x100"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stopwords"),
+        F.greatest(F.lit(0), score).cast("int").alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language heuristic with fixed tie-break order
+    en > de > fr > es > unknown (CJK detected by codepoint class)."""
+    words = _norm_words(F.col("text"))
+    counts = {
+        lang: sum((_count_word(words, w) for w in markers), F.lit(0))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    n_cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    best = F.greatest(*counts.values())
+    pred = (
+        F.when(n_cjk > 0, "zh")
+        .when(best == 0, "unknown")
+        .when(counts["en"] == best, "en")
+        .when(counts["de"] == best, "de")
+        .when(counts["fr"] == best, "fr")
+        .otherwise("es")
+    )
+    out = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[c.alias(f"c_{lang}") for lang, c in counts.items()],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Whitespace-normalised md5 fingerprint (exact-dup key) + 16-bit
+    prefix bucket (cheap shard key for distributed dedup joins)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    h = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        h.alias("fp_md5"),
+        F.substring(h, 1, 4).alias("fp_bucket"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — the
+    plagiarism-detection style local fingerprint set.
+
+    Rolling k-gram hashes + per-window minima (Schleimer et al., SIGMOD
+    2003 'Winnowing: Local Algorithms for Document Fingerprinting').
+    Python-side arithmetic -> Arrow-batched mapInPandas; no SQL oracle
+    (driver records rows-only).
+    """
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_fingerprints", LongType()),
+            StructField("fingerprints", ArrayType(LongType())),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        MOD = (1 << 61) - 1
+        BASE = 257
+
+        def fps(text: str) -> list[int]:
+            s = " ".join(text.lower().split())
+            if len(s) < k:
+                return []
+            h = 0
+            power = pow(BASE, k - 1, MOD)
+            hashes = []
+            for i, ch in enumerate(s):
+                h = (h * BASE + ord(ch)) % MOD
+                if i >= k:
+                    h = (h - ord(s[i - k]) * power * BASE) % MOD
+                if i >= k - 1:
+                    hashes.append(h)
+            sel = set()
+            for i in range(max(0, len(hashes) - window + 1)):
+                sel.add(min(hashes[i : i + window]))
+            return sorted(sel)
+
+        for pdf in batches:
+            out = [
+                {"doc_id": d, "n_fingerprints": len(v), "fingerprints": v}
+                for d, v in zip(pdf["doc_id"], (fps(t) for t in pdf["text"]))
+            ]
+            yield pd.DataFrame(out, columns=["doc_id", "n_fingerprints", "fingerprints"])
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema)
