@@ -24,6 +24,8 @@ from pyspark.sql import Column, functions as F
 
 def decode_trace_id_str(message: str) -> str:
     """Pure-Python single-cell decode; '' on any failure (reference :616-618)."""
+    if not message:  # masked (non-marker) rows short-circuit
+        return ""
     try:
         arr = json.loads(message)
         payload = json.loads(gzip.decompress(b64decode(arr[2])).decode("utf-8"))
@@ -73,5 +75,10 @@ def trace_id_raw(text: Column, is_nr_marker: Column) -> Column:
     so '' must flow into the forward-fill and clobber any earlier value.
     Downstream attaches ``trace.id`` only when non-empty (:531-532) via
     ``nullif(fill, '')``.
+
+    The UDF INPUT is masked (NULL for non-marker rows), not just the
+    output: ``when(cond, udf(x))`` still ships every row through Arrow
+    and runs the decode on it, while ``udf(when(cond, x))`` ships NULLs
+    that short-circuit — the gzip+json work only touches marker rows.
     """
-    return F.when(is_nr_marker, decode_trace_id(text))
+    return F.when(is_nr_marker, decode_trace_id(F.when(is_nr_marker, text)))

@@ -55,6 +55,27 @@ def write_sink(df: DataFrame, path: str, order_cols=("conv_id", "turn_idx")) -> 
     df.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
 
 
+def infra_union(classified: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """All infra rows in ONE pass, keeping ``sink`` as a partition column.
+
+    The three infra sinks share a schema, so a single write with
+    ``partitionBy('sink')`` replaces three filtered jobs — one scan, one
+    sort, one commit instead of three (the reference's three URL paths
+    map to the three partition directories). The lambda filter and
+    optional reformat apply only to lambda-sink rows.
+    """
+    cfg = cfg or PipelineConfig()
+    is_lambda = F.col("sink") == SINK_LAMBDA
+    keep = ~is_lambda | P.survives_lambda_filter(F.col("text"))
+    df = classified.filter(keep)
+    if cfg.format_logs:
+        df = df.withColumn(
+            "text",
+            F.when(is_lambda, P.format_agent_logs(F.col("text"))).otherwise(F.col("text")),
+        )
+    return df
+
+
 def route_counts(classified: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """Per-sink routed-row counts (the graded aggregate) in ONE pass.
 

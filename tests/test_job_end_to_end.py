@@ -52,7 +52,7 @@ def test_per_sink_counts_match_reference(spark, template_df, template_meta_df, r
 
 
 def test_sink_files_ordered_and_readable(spark, run_dir):
-    lam = spark.read.parquet(f"{run_dir}/infra_lambda")
+    lam = spark.read.parquet(f"{run_dir}/infra").filter(F.col("sink") == "lambda")
     assert lam.count() > 0
     # per-turn order within each conversation is reconstructible
     idx = sorted(datagen.TEMPLATES).index("lambda_full")
@@ -86,18 +86,19 @@ def test_resume_is_idempotent(spark, template_df, template_meta_df, run_dir):
 
 
 def test_partial_failure_resume(spark, template_df, template_meta_df, tmp_path):
-    """Simulate a mid-job kill: complete only 2 of 4 sinks, then resume —
-    final counts equal a clean run's."""
+    """Simulate a mid-job kill: only the hub stage completes, then resume —
+    final counts equal a clean run's and the hub is not rewritten."""
     out = str(tmp_path / "partial")
     cfg = PipelineConfig(logging_enabled=True)
-    from aws_log_ingestion_spark.operators.route import infra_rows
     from aws_log_ingestion_spark.plans.job import prepare
 
     log = ckpt.CheckpointLog(out)
-    hub = prepare(template_df, template_meta_df, cfg)
-    for sink in ("lambda", "vpc"):  # job dies after two sinks
-        ckpt.observed_write(infra_rows(hub, sink, cfg), f"{out}/infra_{sink}", log, f"infra_{sink}")
-    assert not log.is_done("infra_other") and not log.is_done("logging")
+    ckpt.observed_write(
+        prepare(template_df, template_meta_df, cfg), f"{out}/classified", log, "classified"
+    )
+    assert not log.is_done("infra") and not log.is_done("logging")
+    hub_time = log.read("classified")["wall_time"]
 
     result = run_pipeline(spark, template_df, template_meta_df, out, cfg, resume=True)
     assert result["counts"] == _expected_counts()
+    assert ckpt.read_manifest(None, out)["classified"]["wall_time"] == hub_time
