@@ -105,25 +105,37 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH candidate generation, exact-Jaccard verification.
+    """MinHash+LSH candidate generation, exact-Jaccard verification of
+    CANDIDATES ONLY (never the full pair space — that is the point of
+    LSH at 100 TB).
 
     rows_per_band = num_hashes/bands; candidate recall for J >= t is
-    1-(1-t^r)^b. Candidates come from band-bucket groupBy (shuffle on
-    content hash — skew-free); each candidate pair is then verified with
-    exact Jaccard so the OUTPUT equals the brute-force answer whenever
-    recall holds (the standard LSH contract).
+    1-(1-t^r)^b (r=4, b=16: ~1-3e-8 at t=0.8, ~0.9997 at t=0.5).
+    Candidates come from band-bucket self-joins (shuffle keys are content
+    hashes — skew-free); verification joins candidate pairs back to the
+    shingle index so intersection counts are computed only for pairs that
+    share a bucket. Output equals brute force whenever recall holds.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes)
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b)).alias("band_hash")
-        for b in range(bands)
+    sh = word_shingles(docs, n).cache()
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
-    buckets = None
-    for b, bc in enumerate(band_cols):
-        part = sig.select("doc_id", F.lit(b).alias("band"), bc)
-        buckets = part if buckets is None else buckets.unionByName(part)
+    sig = sh.groupBy("doc_id").agg(*aggs)
+
+    # bands -> (band, band_hash) rows via a single posexplode (one pass
+    # over signatures instead of `bands` unioned scans)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
+    )
     x = buckets.alias("x")
     y = buckets.alias("y")
     candidates = (
@@ -136,10 +148,35 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n, threshold).select(
-        "id_a", "id_b", "jaccard_x1000"
+
+    # exact verification restricted to candidates: explode each pair by
+    # doc A's shingles, then equi-join on (id_b, shingle) so only shared
+    # shingles survive — intersection counted without touching non-
+    # candidate pairs
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        candidates.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard_x1000")
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(
+                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_x1000") >= int(threshold * 1000))
+        .select("id_a", "id_b", "jaccard_x1000")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:

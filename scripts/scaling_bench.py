@@ -41,12 +41,29 @@ def run_bench(sf_dir: str, cpus: int, amplify: int, repeat: int = 3) -> dict:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
-    results = {}
-    for cpus in (8, 32):
-        print(f"running bench at local[{cpus}] ...", flush=True)
-        results[cpus] = run_bench(sf_dir, cpus, amplify)
-        print(json.dumps(results[cpus]), flush=True)
+    # Interleave the two parallelism levels across rounds so co-tenant CPU
+    # noise (2-5x wall variance on this box) hits both equally; keep the
+    # best (min job_total -> max tps) observation per level.
+    results: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for cpus in (8, 32):
+            print(f"round {rnd}: local[{cpus}] ...", flush=True)
+            r = run_bench(sf_dir, cpus, amplify, repeat=2)
+            print(json.dumps(r), flush=True)
+            if cpus not in results or r["value"] > results[cpus]["value"]:
+                prev = results.get(cpus)
+                if prev:
+                    r["queries"]["job_total_all_runs"] = (
+                        prev["queries"]["job_total_all_runs"]
+                        + r["queries"]["job_total_all_runs"]
+                    )
+                results[cpus] = r
+            else:
+                results[cpus]["queries"]["job_total_all_runs"] += r["queries"][
+                    "job_total_all_runs"
+                ]
 
     tps8 = results[8]["value"]
     tps32 = results[32]["value"]

@@ -1,0 +1,159 @@
+"""Known-answer tests for the training-data operators: planted exact and
+near duplicates, planted embedding clusters, language markers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.operators import dedup, similarity, text_analysis
+
+DOCS = [
+    # planted near-dup pair: 0 and 1 differ by one word at the end
+    (0, "the quick brown fox jumps over the lazy dog again and again today", "en"),
+    (1, "the quick brown fox jumps over the lazy dog again and again tonight", "en"),
+    # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog again and again today", "en"),
+    # exact dup modulo whitespace
+    (3, "  the quick  brown fox jumps over the lazy dog again and again today ", "en"),
+    # unrelated
+    (4, "completely different content about spark window aggregation plans", "en"),
+    (5, "der hund und die katze laufen durch der garten und der park", "de"),
+    (6, "le chat et la souris dansent dans le jardin et la maison", "fr"),
+    (7, "short", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+    return df.withColumn("doc_id", F.col("doc_id").cast("long")).cache()
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    # 0, 2, 3 share a normalized hash; keeper is 0
+    assert got[0]["keep_id"] == 0 and got[0]["is_duplicate"] == 0
+    assert got[2]["keep_id"] == 0 and got[2]["is_duplicate"] == 1
+    assert got[3]["keep_id"] == 0 and got[3]["is_duplicate"] == 1
+    assert got[1]["is_duplicate"] == 0
+    assert got[4]["is_duplicate"] == 0
+
+
+def test_ngram_jaccard_finds_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_x1000"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # 0-1 differ in last word only: 11 shingles each, 10 shared -> J=10/12
+    assert (0, 1) in pairs and pairs[(0, 1)] == 833
+    # exact dups have J=1000
+    assert pairs[(0, 2)] == 1000 and pairs[(0, 3)] == 1000 and pairs[(2, 3)] == 1000
+    # unrelated docs don't appear
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_equals_bruteforce_on_planted_dups(docs):
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard_x1000"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard_x1000"]
+        for r in dedup.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # identical verdicts (LSH recall at J>=0.8 is ~1; planted pairs are high-J)
+    assert lsh == brute
+
+
+def test_simhash_near_zero_hamming_for_exact_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 2)) == 0  # identical word multisets
+    assert pairs.get((0, 3)) == 0
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] <= 16
+
+
+def test_lang_id_markers(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in text_analysis.lang_id(docs).collect()}
+    assert got[0] == "en" and got[5] == "de" and got[6] == "fr"
+    assert got[7] == "unknown"  # no marker words
+
+
+def test_quality_score_dock_rules(docs):
+    got = {r["doc_id"]: r for r in text_analysis.quality_score(docs).collect()}
+    assert got[7]["quality"] <= 40  # short doc docked for words+chars+stopwords
+    assert got[0]["quality"] == 100
+
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in text_analysis.token_counts(docs).collect()}
+    assert got[7]["n_ws_tokens"] == 1
+    assert got[0]["n_ws_tokens"] == 13
+    assert got[0]["n_bpe_tokens"] == 13  # pure letter runs
+
+
+def test_winnow_fingerprints_detect_overlap(docs):
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in text_analysis.winnow_fingerprints(docs).collect()
+    }
+    # exact dups -> identical fingerprint sets
+    assert fps[0] == fps[2] == fps[3]
+    # near dups share most fingerprints; unrelated share almost none
+    sim_near = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    sim_far = len(fps[0] & fps[4]) / len(fps[0] | fps[4])
+    assert sim_near > 0.5 > sim_far
+
+
+def test_brute_force_topk_self_similarity(spark):
+    import random
+
+    rng = random.Random(7)
+    # 3 clusters of 10 vectors each around distinct centroids
+    rows = []
+    for vid in range(30):
+        c = vid % 3
+        base = [1.0 if d // 8 == c else 0.0 for d in range(24)]
+        rows.append((vid, [b + rng.uniform(-0.05, 0.05) for b in base], c))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    topk = similarity.brute_force_topk(emb, n_queries=3, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # every query's top-5 comes from its own cluster
+    for q, neighbors in by_q.items():
+        assert all(n % 3 == q % 3 for n in neighbors), (q, neighbors)
+
+
+def test_lsh_topk_matches_bruteforce_within_bucket(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = similarity.lsh_topk(emb, n_queries=3, k=5, n_planes=4).collect()
+    assert len(lsh) > 0
+    # every LSH hit must also be a true neighbor ordering: ranks ascend
+    by_q = {}
+    for r in lsh:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_x1e6"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cos_vals = [c for _, c in rows]
+        assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_multimodal_feature_batch_shape(spark, docs):
+    from aws_log_ingestion_spark.operators import multimodal
+
+    media = multimodal.synth_media(docs.select("doc_id", "text"))
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == len(DOCS)
+    for r in feats:
+        assert len(r["features"]) == 4
+        assert r["media_type"] in ("image/png", "audio/wav", "video/mp4")
+    # decode stub is explicit
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")
