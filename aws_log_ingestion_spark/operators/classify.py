@@ -101,7 +101,10 @@ def classify(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     rid_masked = F.when(is_lambda_group, F.col("req_id_raw"))
     rid_fill = F.last(rid_masked, ignorenulls=True).over(_running_window())
 
-    return df.withColumn("sink", sink).withColumn("lambda_request_id", rid_fill)
+    # ORDERED window first: its (conv_id, turn_idx) sort also satisfies
+    # the unordered max-window's clustering, so the plan has ONE Sort;
+    # the reverse order costs a second Sort after the max-window.
+    return df.withColumn("lambda_request_id", rid_fill).withColumn("sink", sink)
 
 
 def forward_fill(

@@ -12,9 +12,9 @@ a re-run that finds the hub checkpoint skips straight to the un-written
 sinks. Measured locally (2M turns): hub-through-storage beats both
 recompute-per-sink (~2.4x) and .cache() (~1.3x).
 
-Run via spark-submit:
+Run via spark-submit (package zipped by scripts/make_pyfiles.sh):
     spark-submit --py-files dist/aws_log_ingestion_spark.zip \
-        aws_log_ingestion_spark/plans/job.py <in_sf_dir> <out_dir>
+        scripts/run_job.py <in_sf_dir> <out_dir>
 """
 
 from __future__ import annotations
