@@ -196,6 +196,24 @@ def _chunk_counts(spark, sf_dir, cfg):
     return chunk_totals(stats).orderBy("sink", "path")
 
 
+def q_chunk_events_by_sink(spark, sf_dir):
+    """SQL-expressible half of the chunk aggregate: per-sink conversation
+    and event totals over the rows each infra sink receives (gzip chunk
+    counts stay in q_chunk_counts, rows-only)."""
+    cfg = PipelineConfig()
+    hub = classify(_transcripts(spark, sf_dir), cfg)
+    from aws_log_ingestion_spark.operators.route import infra_union
+
+    return (
+        infra_union(hub, cfg)
+        .groupBy("sink")
+        .agg(
+            F.count_distinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -271,6 +289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_decode": q_trace_decode,
         "chunk_counts": q_chunk_counts,
         "chunk_counts_small_cap": q_chunk_counts_small_cap,
+        "chunk_events_by_sink": q_chunk_events_by_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -392,6 +411,17 @@ _D_SHINGLES = (
     "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i "
     "FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs) ws) x)"
 )
+
+
+def _sql_chunk_events_by_sink() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", c AS (SELECT conv_id, text, "
+        + _D_SINK + " AS sink FROM t), "
+        "kept AS (SELECT conv_id, sink FROM c WHERE sink != 'lambda' OR ("
+        + _D_REPORT + " OR " + _D_LMSG + ")) "
+        "SELECT sink, COUNT(DISTINCT conv_id) AS n_convs, COUNT(*) AS n_events "
+        "FROM kept GROUP BY sink"
+    )
 
 
 def _sql_dedup_exact() -> str:
@@ -548,6 +578,7 @@ def oracle_sql() -> dict[str, str]:
         "trace_decode": _sql_trace_decode(),
         # chunk_counts / chunk_counts_small_cap: gzip byte arithmetic is not
         # SQL-expressible -> rows-only check (see SURVEY.md §2 row 16)
+        "chunk_events_by_sink": _sql_chunk_events_by_sink(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         # dedup_minhash_lsh / dedup_simhash: xxhash64-dependent -> rows-only
