@@ -238,6 +238,10 @@ def q_ann_lsh(spark, sf_dir):
     return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_planes=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_centroids=8)
+
+
 def q_embedding_neardup(spark, sf_dir):
     return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
 
@@ -296,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -473,6 +478,26 @@ def _sql_ann_cosine_topk() -> str:
     )
 
 
+def _sql_ann_ivf(n_queries: int = 5, k: int = 10, n_centroids: int = 8) -> str:
+    quant = _D_QUANT.format(COL="embedding")
+    return (
+        "WITH qv AS (SELECT vec_id AS vid, " + quant + " AS v FROM embeddings), "
+        f"cents AS (SELECT vid AS centroid_id, v AS c FROM qv WHERE vid < {n_centroids}), "
+        "assign AS (SELECT vid AS vec_id, centroid_id AS cell, v FROM ("
+        "  SELECT vid, centroid_id, v, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY "
+        "  (list_inner_product(v, c) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) DESC, centroid_id) AS rn "
+        "  FROM qv, cents) x WHERE rn = 1), "
+        f"q AS (SELECT vec_id AS query_id, cell AS q_cell, v AS qe FROM assign WHERE vec_id < {n_queries}), "
+        "c AS (SELECT vec_id AS neighbor_id, cell AS n_cell, v AS ne FROM assign), "
+        "scored AS (SELECT query_id, neighbor_id, n_cell AS cell, " + _D_COS + " AS cos "
+        "FROM c JOIN q ON n_cell = q_cell WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cell, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, "
+        "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
+        f"SELECT query_id, neighbor_id, cell, rank, cos_x1e6 FROM ranked WHERE rank <= {k}"
+    )
+
+
 def _sql_embedding_neardup() -> str:
     return (
         "WITH a AS (SELECT vec_id AS id_a, "
@@ -583,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
         # dedup_minhash_lsh / dedup_simhash: xxhash64-dependent -> rows-only
         "ann_cosine_topk": _sql_ann_cosine_topk(),
+        "ann_ivf": _sql_ann_ivf(),
         # ann_lsh: approximate by design -> rows-only
         "embedding_neardup": _sql_embedding_neardup(),
         "lang_id": _sql_lang_id(),

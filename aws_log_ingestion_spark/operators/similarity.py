@@ -137,6 +137,69 @@ def lsh_topk(
     )
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF cell assignment with deterministic centroids.
+
+    Centroids are the first ``n_centroids`` vectors (by vec_id) — a
+    deterministic stand-in for trained k-means centroids; in production
+    the centroid table comes from a sampled k-means job and is swapped in
+    here unchanged. Assignment = argmax cosine against the broadcast
+    centroid table, ties broken by centroid id. At 100 TB ``cell``
+    becomes the table's partition key: a query probes one (or a few)
+    cells instead of the full collection.
+    """
+    from pyspark.sql import Window as W
+
+    q = emb.select(F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("v"))
+    cents = q.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("centroid_id"), F.col("v").alias("c")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "ccos", cosine(F.col("v"), F.col("c"))
+    )
+    w = W.partitionBy("vid").orderBy(F.col("ccos").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vid").alias("vec_id"), F.col("centroid_id").alias("cell"), "v")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_centroids: int = 8
+) -> DataFrame:
+    """IVF-bucketed top-k: score only candidates in the query's cell.
+
+    Fully deterministic (quantized vectors, id tie-breaks) so it carries
+    an exact SQL oracle, unlike typical trained-IVF setups."""
+    from pyspark.sql import Window as W
+
+    assigned = ivf_assign(emb, n_centroids)
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell"), F.col("v").alias("qv")
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell").alias("n_cell"), F.col("v").alias("nv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("n_cell") == F.col("q_cell"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("n_cell").alias("cell"),
+            "rank",
+            F.floor(F.col("cos") * 1000000).cast("long").alias("cos_x1e6"),
+        )
+    )
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force, exact).
 
