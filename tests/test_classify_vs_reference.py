@@ -103,6 +103,22 @@ def test_is_lambda_message_per_line_parity(spark):
         '{"NR_LAMBDA_MONITORING": true}',  # quote-prefixed marker mid-string
         "",
     ]
+    # seeded fuzz: random strings + random mutations of the archetypes
+    import random
+
+    rng = random.Random(1234)
+    alphabet = 'abcXYZ0129 \t\n"[]{}:.-TZ'
+    base = [t for t in corpus if t]
+    for _ in range(300):
+        if rng.random() < 0.5:
+            corpus.append("".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80))))
+        else:
+            s = list(rng.choice(base))
+            for _ in range(rng.randrange(1, 4)):
+                pos = rng.randrange(0, len(s))
+                s[pos] = rng.choice(alphabet)
+            corpus.append("".join(s))
+    corpus = list(dict.fromkeys(corpus))  # dedupe, keep order
     df = spark.createDataFrame([(t,) for t in corpus], ["text"])
     from aws_log_ingestion_spark.functions import patterns as P
 
