@@ -70,12 +70,23 @@ def _running_window():
     )
 
 
-def classify(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
-    """Add ``sink`` in {vpc, lambda, other} + forward-filled ids.
+def classify(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    fill_request_ids: bool = True,
+) -> DataFrame:
+    """Add ``sink`` in {vpc, lambda, other} (+ forward-filled request id).
 
     Expects columns: conv_id, turn_idx, text, tool (or log_group already
     present). One shuffle on conv_id serves the whole-conversation max()
-    AND both running fills (same partitioning, same ordering).
+    AND the running fill (same partitioning, same ordering).
+
+    ``fill_request_ids=False`` skips the ordered fill — the max-window
+    then needs NO sort at all. The production job uses this: the infra
+    path never attaches request ids (the reference's infra payload is the
+    raw filtered entry, /root/reference/src/function.py:255-261) and the
+    MELT projection computes its own fills, so sorting the hub would be
+    pure waste.
     """
     cfg = cfg or PipelineConfig()
     if "log_group" not in df.columns:
@@ -95,6 +106,9 @@ def classify(df: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
         .when(is_lambda_group & any_lambda_msg, F.lit(SINK_LAMBDA))
         .otherwise(F.lit(SINK_OTHER))
     )
+
+    if not fill_request_ids:
+        return df.withColumn("sink", sink)
 
     # Request-id fill only applies under the lambda log-group prefix
     # (:538): the extract is masked, then carried forward.

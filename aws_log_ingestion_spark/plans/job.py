@@ -38,9 +38,11 @@ def prepare(
     conv_meta: DataFrame,
     cfg: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Parse + classify + enrich (the hub DataFrame, pre-materialisation)."""
+    """Parse + classify + enrich (the hub DataFrame, pre-materialisation).
+
+    fill_request_ids=False: the hub needs no sort — see classify()."""
     cfg = cfg or PipelineConfig()
-    return enrich(classify(transcripts, cfg), conv_meta)
+    return enrich(classify(transcripts, cfg, fill_request_ids=False), conv_meta)
 
 
 def run_pipeline(

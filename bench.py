@@ -61,7 +61,9 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     t = spark.read.parquet(in_path)
 
     t0 = time.time()
-    enrich(classify(t, cfg), meta).write.mode("overwrite").parquet(f"{out}/classified")
+    enrich(classify(t, cfg, fill_request_ids=False), meta).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/classified")
     timings["hub_write"] = time.time() - t0
     hub = spark.read.parquet(f"{out}/classified")
 
