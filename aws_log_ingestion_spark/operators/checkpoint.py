@@ -69,6 +69,27 @@ def partition_lineage(df: DataFrame) -> list[dict]:
     return [{"partition_id": r["partition_id"], "rows": r["rows"]} for r in rows]
 
 
+def file_lineage(path: str) -> list[dict]:
+    """Per-output-file row counts straight from parquet footers (pyarrow,
+    no Spark job): the cheap physical form of per-partition lineage —
+    each task's output file is one entry. On Iceberg this is the
+    manifest-file content the snapshot already carries."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            if fname.endswith(".parquet"):
+                fp = os.path.join(root, fname)
+                out.append(
+                    {
+                        "file": os.path.relpath(fp, path),
+                        "rows": pq.ParquetFile(fp).metadata.num_rows,
+                    }
+                )
+    return out
+
+
 def observed_write(
     df: DataFrame,
     path: str,
@@ -91,7 +112,9 @@ def observed_write(
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     observed.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
     rows = obs.get["rows"]
-    log.record(stage, {"rows": rows, "path": path})
+    lineage = file_lineage(path)
+    assert sum(e["rows"] for e in lineage) == rows, "lineage/observe count drift"
+    log.record(stage, {"rows": rows, "path": path, "lineage": lineage})
     return rows
 
 

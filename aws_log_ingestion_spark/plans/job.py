@@ -89,7 +89,14 @@ def run_pipeline(
                 "overwrite"
             ).partitionBy("sink").parquet(f"{out_dir}/infra")
             per_sink = {s: int(obs.get[s] or 0) for s in INFRA_SINKS}
-            log.record("infra", {"rows": sum(per_sink.values()), "per_sink": per_sink})
+            log.record(
+                "infra",
+                {
+                    "rows": sum(per_sink.values()),
+                    "per_sink": per_sink,
+                    "lineage": ckpt.file_lineage(f"{out_dir}/infra"),
+                },
+            )
         per_sink = log.read("infra")["per_sink"]
         for s in INFRA_SINKS:
             counts[f"infra_{s}_rows"] = per_sink[s]
