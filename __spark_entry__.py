@@ -62,6 +62,10 @@ _D_NORM_DOC = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
 
 
 def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch-ms conversions cast ntz->timestamp via the SESSION timezone;
+    # pin UTC so results match DuckDB's epoch_ms regardless of the
+    # driver session's locale
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return derive.transcripts_from_events(spark, sf_dir)
 
 
