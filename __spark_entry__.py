@@ -345,9 +345,10 @@ def _sql_route_counts() -> str:
     return (
         "WITH t AS " + _DUCK_T + ", c AS (SELECT text, " + _D_SINK + " AS sink FROM t) "
         "SELECT "
-        "SUM(CASE WHEN sink='lambda' AND (" + _D_REPORT + " OR " + _D_LMSG + ") THEN 1 ELSE 0 END) AS infra_lambda_rows, "
-        "SUM(CASE WHEN sink='vpc' THEN 1 ELSE 0 END) AS infra_vpc_rows, "
-        "SUM(CASE WHEN sink='other' THEN 1 ELSE 0 END) AS infra_other_rows, "
+        # CAST: DuckDB SUM(int) yields HUGEINT; Spark emits BIGINT
+        "CAST(SUM(CASE WHEN sink='lambda' AND (" + _D_REPORT + " OR " + _D_LMSG + ") THEN 1 ELSE 0 END) AS BIGINT) AS infra_lambda_rows, "
+        "CAST(SUM(CASE WHEN sink='vpc' THEN 1 ELSE 0 END) AS BIGINT) AS infra_vpc_rows, "
+        "CAST(SUM(CASE WHEN sink='other' THEN 1 ELSE 0 END) AS BIGINT) AS infra_other_rows, "
         "COUNT(*) AS logging_rows FROM c"
     )
 
@@ -476,7 +477,7 @@ def _sql_ann_cosine_topk() -> str:
         "scored AS (SELECT query_id, neighbor_id, " + _D_COS + " AS cos "
         "FROM c, q WHERE neighbor_id != query_id), "
         "ranked AS (SELECT query_id, neighbor_id, "
-        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank, "
         "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
         "SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= 10"
     )
@@ -496,7 +497,7 @@ def _sql_ann_ivf(n_queries: int = 5, k: int = 10, n_centroids: int = 8) -> str:
         "scored AS (SELECT query_id, neighbor_id, n_cell AS cell, " + _D_COS + " AS cos "
         "FROM c JOIN q ON n_cell = q_cell WHERE neighbor_id != query_id), "
         "ranked AS (SELECT query_id, neighbor_id, cell, "
-        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank, "
         "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
         f"SELECT query_id, neighbor_id, cell, rank, cos_x1e6 FROM ranked WHERE rank <= {k}"
     )
@@ -516,7 +517,8 @@ def _sql_embedding_neardup() -> str:
 
 
 def _d_count_word(w: str) -> str:
-    return "len(list_filter(w, x -> x = '" + w + "'))"
+    # CAST: DuckDB len() is BIGINT; Spark size() is INT
+    return "CAST(len(list_filter(w, x -> x = '" + w + "')) AS INT)"
 
 
 def _sql_lang_id() -> str:
@@ -547,8 +549,9 @@ def _sql_quality_score() -> str:
     n_stop = " + ".join(_d_count_word(w) for w in STOPWORDS)
     return (
         "WITH w AS (SELECT doc_id, text, string_split(" + _D_NORM_DOC + ", ' ') AS w FROM documents), "
-        "f AS (SELECT doc_id, length(text) AS n_chars_obs, len(w) AS n_words, "
-        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct, "
+        "f AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs, "
+        "CAST(len(w) AS INT) AS n_words, "
+        "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct, "
         "(" + n_stop + ") AS n_stopwords FROM w) "
         "SELECT doc_id, n_chars_obs, n_words, "
         "CASE WHEN n_words > 0 THEN CAST(FLOOR(n_chars_obs * 100 / n_words) AS BIGINT) ELSE 0 END AS mean_word_len_x100, "
@@ -566,9 +569,9 @@ def _sql_token_count() -> str:
 
     return (
         "SELECT doc_id, "
-        "len(string_split(" + _D_NORM_DOC + ", ' ')) AS n_ws_tokens, "
-        "len(regexp_extract_all(text, '" + BPE_TOKEN_RE + "')) AS n_bpe_tokens, "
-        "octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents"
+        "CAST(len(string_split(" + _D_NORM_DOC + ", ' ')) AS INT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '" + BPE_TOKEN_RE + "')) AS INT) AS n_bpe_tokens, "
+        "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes FROM documents"
     )
 
 

@@ -86,6 +86,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: columns {s_cols} != {o_cols}")
             continue
+        # dtype alignment (the driver may compare schemas): require equal
+        # pandas dtypes modulo object/string
+        dt_mismatch = [
+            (c, str(sdf[c].dtype), str(odf[c].dtype))
+            for c in s_cols
+            if str(sdf[c].dtype) != str(odf[c].dtype)
+            and not (sdf[c].dtype == object or odf[c].dtype == object)
+        ]
+        if dt_mismatch:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype mismatch {dt_mismatch}")
+            continue
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"FAIL  {name}: rows {len(sdf)} != {len(odf)}")
