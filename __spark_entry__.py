@@ -277,6 +277,13 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    media = multimodal.synth_media(_docs(spark, sf_dir))
+    return multimodal.resize_media(media, target_w=32, target_h=32).select(
+        "doc_id", "media_type", "width", "height", "n_bytes"
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n_bytes=64)
@@ -312,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
         "frame_sample": q_frame_sample,
     }
 

@@ -111,6 +111,40 @@ def extract_features(media: DataFrame, n_features: int = 4) -> DataFrame:
     )
 
 
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """'Resize' stand-in: real image resize needs a codec (PIL — absent
+    here; decode_media raises), so the stub downsamples the payload bytes
+    deterministically by the same area ratio a resize would and rewrites
+    the width/height metadata. The Spark-side contract is the real part:
+    binary in -> binary out through Arrow batches, metadata kept in sync.
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_payload = []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                ratio = max(1, int((int(w) * int(h)) / (target_w * target_h)))
+                out_payload.append(arr[::ratio].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out_payload,
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(p) for p in out_payload],
+                }
+            )
+
+    return media.select(
+        "doc_id", "media_type", "payload", "width", "height", "n_bytes"
+    ).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of each
     payload (what video frame extraction produces), fully vectorized via

@@ -157,3 +157,14 @@ def test_multimodal_feature_batch_shape(spark, docs):
     # decode stub is explicit
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png")
+
+
+def test_multimodal_resize_metadata_sync(spark, docs):
+    from aws_log_ingestion_spark.operators import multimodal
+
+    media = multimodal.synth_media(docs.select("doc_id", "text"))
+    resized = multimodal.resize_media(media, target_w=8, target_h=8).collect()
+    assert len(resized) == len(DOCS)
+    for r in resized:
+        assert r["width"] == 8 and r["height"] == 8
+        assert r["n_bytes"] == len(r["payload"])
