@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -27,8 +28,15 @@ def run_bench(sf_dir: str, cpus: int, amplify: int, repeat: int = 3) -> dict:
         SPARK_GRAFT_AMPLIFY=str(amplify),
         SPARK_GRAFT_REPEAT=str(repeat),
     )
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    # local[N] bounds TASK SLOTS only — GC, netty, parquet writer threads
+    # and Python workers spill onto other cores, flattering the small
+    # level. taskset pins the whole process tree to exactly N cores, which
+    # is what "an N-core executor" means.
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         env=env,
         capture_output=True,
         text=True,
