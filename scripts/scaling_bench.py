@@ -100,9 +100,11 @@ Generated {datetime.date.today().isoformat()} by `scripts/scaling_bench.py`
 on local mode. This sandbox is a SHARED 32-core box (loadavg during runs:
 {[round(x,1) for x in loads]}); identical jobs vary 2-5x in wall time with
 co-tenant load, so each level reports the min over {rounds}x2 interleaved
-full-job runs, and the levels are local[{n_small}] vs local[{n_big}]
-(N vs 4N cores — both fit in the machine's spare capacity so the ratio
-measures the engine, not the neighbors; see scripts/scaling_bench.py).
+full-job runs, and the levels are local[{n_small}] vs local[{n_big}],
+each PINNED with `taskset -c 0-(N-1)` so the whole process tree (task
+slots, GC, shuffle/netty and Python workers) really uses N cores — the
+honest proxy for an N-core executor; both levels fit in the machine's
+spare capacity so the ratio measures the engine, not the neighbors.
 
 ## End-to-end pipeline throughput (writes included)
 
