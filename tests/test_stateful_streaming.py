@@ -1,0 +1,72 @@
+"""Cross-batch stateful forward-fill: state must survive the micro-batch
+boundary (two availableNow runs over a growing file source share one
+checkpoint)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.sources import datagen
+from aws_log_ingestion_spark.streaming.stateful import stateful_request_fill
+
+
+def _write_batch(spark, in_dir: str, rows: list[dict], name: str) -> None:
+    datagen.to_spark_df(spark, rows).write.mode("append").parquet(in_dir)
+
+
+def _run_available_now(spark, in_dir: str, out_dir: str, ckpt: str) -> None:
+    schema = datagen.to_spark_df(spark, []).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stateful_request_fill(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_request_id_carries_across_micro_batches(spark, tmp_path):
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    uuid_a, uuid_b = datagen.UUID_A, datagen.UUID_B
+
+    # batch 1: conv sets request id A, then two probe lines without ids
+    batch1 = [
+        {"conv_id": "cx", "turn_idx": 0, "role": "user", "tool": "lambda",
+         "text": f"START RequestId: {uuid_a} Version: $LATEST",
+         "ts_millis": datagen.BASE_TS_MILLIS},
+        {"conv_id": "cx", "turn_idx": 1, "role": "user", "tool": "lambda",
+         "text": "no id here", "ts_millis": datagen.BASE_TS_MILLIS + 1},
+    ]
+    _write_batch(spark, in_dir, batch1, "b1")
+    _run_available_now(spark, in_dir, out_dir, ckpt)
+
+    # batch 2 (new files, same checkpoint): carry must still be A until B
+    batch2 = [
+        {"conv_id": "cx", "turn_idx": 2, "role": "user", "tool": "lambda",
+         "text": "still no id", "ts_millis": datagen.BASE_TS_MILLIS + 2},
+        {"conv_id": "cx", "turn_idx": 3, "role": "user", "tool": "lambda",
+         "text": f"START RequestId: {uuid_b} Version: $LATEST",
+         "ts_millis": datagen.BASE_TS_MILLIS + 3},
+        {"conv_id": "cy", "turn_idx": 0, "role": "user", "tool": "lambda",
+         "text": "fresh conversation, no id", "ts_millis": datagen.BASE_TS_MILLIS},
+    ]
+    _write_batch(spark, in_dir, batch2, "b2")
+    _run_available_now(spark, in_dir, out_dir, ckpt)
+
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["lambda_request_id"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("cx", 0)] == uuid_a
+    assert got[("cx", 1)] == uuid_a
+    assert got[("cx", 2)] == uuid_a  # <- crossed the micro-batch boundary
+    assert got[("cx", 3)] == uuid_b
+    assert got[("cy", 0)] is None  # fresh conversation starts empty
