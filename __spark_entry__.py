@@ -29,7 +29,6 @@ from aws_log_ingestion_spark.operators.enrich import enrich
 from aws_log_ingestion_spark.operators.melt import melt_project
 from aws_log_ingestion_spark.operators.route import infra_rows, route_counts
 from aws_log_ingestion_spark.sources import derive
-from aws_log_ingestion_spark.sources.datagen import nr_marker_with_trace
 
 # ---------------------------------------------------------------- helpers
 
@@ -44,6 +43,14 @@ _D_TIMEOUT = "regexp_matches(text, '" + P.TIMEOUT + "')"
 _D_KILL = "regexp_matches(text, '" + P.RUNTIME_KILL + "')"
 _D_LMSG = "(" + _D_NR + " OR " + _D_TIMEOUT + " OR " + _D_KILL + ")"
 _D_RID = "NULLIF(regexp_extract(text, '" + P.REQUEST_ID + "', 1), '')"
+
+# Trace decode result on a marker row: the derive template embeds exactly
+# one DECODABLE blob literal (known trace id); any other marker fails
+# decode and yields '' (reference :616-618).
+_D_TRACE_RAW = (
+    "CASE WHEN text = '" + derive.DECODABLE_NR_MARKER + "' THEN '"
+    + derive.DECODABLE_NR_TRACE_ID + "' ELSE '' END"
+)
 _D_LOG_GROUP = derive.LOG_GROUP_CASE
 
 _D_SINK = (
@@ -163,17 +170,15 @@ def q_enrich_owner(spark, sf_dir):
 
 
 def q_trace_decode(spark, sf_dir):
-    """Exercise the gzip trace-decode pandas UDF on a decodable marker."""
+    """Gzip trace-decode pandas UDF over the REAL marker rows in the data
+    (derive embeds a decodable blob for some conversations, an undecodable
+    one for others — both decode paths run end-to-end)."""
     from aws_log_ingestion_spark.functions.tracing import decode_trace_id
 
-    marker = nr_marker_with_trace("tr-fixed")
-    convs = (
-        _transcripts(spark, sf_dir)
-        .filter(F.col("tool") == "lambda")
-        .select("conv_id")
-        .distinct()
+    t = _transcripts(spark, sf_dir)
+    return t.filter(P.is_nr_marker(F.col("text"))).select(
+        "conv_id", "turn_idx", decode_trace_id(F.col("text")).alias("trace_id")
     )
-    return convs.withColumn("trace_id", decode_trace_id(F.lit(marker)))
 
 
 def q_chunk_counts(spark, sf_dir):
@@ -273,8 +278,20 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Driver-differ-safe projection: per-feature scalar columns (the
+    differ canonicalizes via pandas sort, which cannot hash an
+    array<double> cell). The operator keeps the array form."""
     media = multimodal.synth_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.element_at(F.col("features"), i + 1).cast("long").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
 
 
 def q_multimodal_resize(spark, sf_dir):
@@ -390,8 +407,8 @@ def _sql_melt_shape() -> str:
     return (
         "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, text AS message, "
         "epoch_ms(ts) AS timestamp, "
-        "NULLIF(last_value(CASE WHEN " + _D_NR + " THEN '' END IGNORE NULLS) "
-        + _RUN + ", '') AS trace_id, "
+        "NULLIF(last_value(CASE WHEN " + _D_NR + " THEN " + _D_TRACE_RAW
+        + " END IGNORE NULLS) " + _RUN + ", '') AS trace_id, "
         "last_value(CASE WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/lambda') THEN "
         + _D_RID + " END IGNORE NULLS) " + _RUN + " AS lambda_request_id, "
         "role AS attr_role, tool AS attr_tool, "
@@ -414,9 +431,10 @@ def _sql_enrich_owner() -> str:
 
 
 def _sql_trace_decode() -> str:
+    # the oracle knows the decodable literal's trace id by construction
     return (
-        "WITH t AS " + _DUCK_T + " SELECT DISTINCT conv_id, 'tr-fixed' AS trace_id "
-        "FROM t WHERE tool = 'lambda'"
+        "WITH t AS " + _DUCK_T + " SELECT conv_id, turn_idx, " + _D_TRACE_RAW
+        + " AS trace_id FROM t WHERE " + _D_NR
     )
 
 
@@ -590,6 +608,41 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+def _sql_multimodal_features() -> str:
+    """Exact oracle for the fake byte-mean features: DuckDB reads payload
+    bytes via hex() + strpos (no blob indexing), reproduces the
+    np.array_split slice boundaries (q = L//4 remainder-first), and the
+    integer feature arithmetic (slice_sum*100)//slice_len."""
+    byte_v = (
+        "(strpos('0123456789ABCDEF', substring(hx, CAST(2*i+1 AS INT), 1))-1)*16 "
+        "+ (strpos('0123456789ABCDEF', substring(hx, CAST(2*i+2 AS INT), 1))-1)"
+    )
+    slice_k = (
+        "CASE WHEN n_bytes < 4 THEN CAST(i AS INT) "
+        "WHEN i < (n_bytes % 4) * (n_bytes // 4 + 1) THEN CAST(i // (n_bytes // 4 + 1) AS INT) "
+        "ELSE CAST((n_bytes % 4) + (i - (n_bytes % 4) * (n_bytes // 4 + 1)) // (n_bytes // 4) AS INT) END"
+    )
+    fcols = ", ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN slice_k = {k} THEN fval END), 0) AS BIGINT) AS f{k}"
+        for k in range(4)
+    )
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' "
+        "ELSE 'video/mp4' END AS media_type, "
+        "octet_length(CAST(text AS BLOB)) AS n_bytes, hex(CAST(text AS BLOB)) AS hx "
+        "FROM documents), "
+        "pos AS (SELECT doc_id, n_bytes, hx, unnest(range(0, n_bytes)) AS i FROM m), "
+        "b AS (SELECT doc_id, " + slice_k + " AS slice_k, " + byte_v + " AS byte_v "
+        "FROM pos), "
+        "s AS (SELECT doc_id, slice_k, (SUM(byte_v) * 100) // COUNT(*) AS fval "
+        "FROM b GROUP BY 1, 2) "
+        "SELECT m.doc_id, m.media_type, CAST(m.n_bytes AS BIGINT) AS n_bytes, " + fcols + " "
+        "FROM m LEFT JOIN s ON m.doc_id = s.doc_id "
+        "GROUP BY 1, 2, 3"
+    )
+
+
 def _sql_frame_sample() -> str:
     return (
         "WITH m AS (SELECT doc_id, "
@@ -630,7 +683,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality_score(),
         "token_count": _sql_token_count(),
         "doc_fingerprint": _sql_doc_fingerprint(),
-        # winnow_fingerprint / multimodal_features: Python-side rolling hash /
-        # binary feature extraction -> rows-only
+        # winnow_fingerprint: Python-side rolling hash -> rows-only
+        "multimodal_features": _sql_multimodal_features(),
         "frame_sample": _sql_frame_sample(),
     }

@@ -78,10 +78,13 @@ FEATURE_SCHEMA = StructType(
 def extract_features(media: DataFrame, n_features: int = 4) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    Deterministic fake: n_features means over fixed-stride byte slices
-    (a stand-in for an image-embedding model). The mapInPandas generator
-    shape — iterate batches, yield frames — is exactly what a real
-    decoder uses.
+    Deterministic fake: per-slice scaled byte means over ``n_features``
+    contiguous byte slices (np.array_split boundaries — a stand-in for an
+    image-embedding model). Each feature is ``(slice_sum * 100) //
+    slice_len`` computed with EXACT integer arithmetic (stored as an
+    integral double), so the result is bit-identical across engines and
+    carries an exact SQL oracle. The mapInPandas generator shape —
+    iterate batches, yield frames — is exactly what a real decoder uses.
     """
 
     def gen(batches):
@@ -92,11 +95,13 @@ def extract_features(media: DataFrame, n_features: int = 4) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 arr = np.frombuffer(payload, dtype=np.uint8)
-                if len(arr) == 0:
-                    feats.append([0.0] * n_features)
-                    continue
-                chunks = np.array_split(arr.astype(np.float64), n_features)
-                feats.append([float(np.floor(c.mean() * 100) / 100) if len(c) else 0.0 for c in chunks])
+                chunks = np.array_split(arr.astype(np.int64), n_features)
+                feats.append(
+                    [
+                        float((int(c.sum()) * 100) // len(c)) if len(c) else 0.0
+                        for c in chunks
+                    ]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -29,6 +29,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Precomputed DECODABLE NR marker (datagen.nr_marker_with_trace output,
+# frozen as a literal so the Spark and DuckDB derivations are byte-equal):
+# base64(gzip(json)) carrying traceId at data.analytic_event_data[2][0][0]
+# — the path the reference decodes (/root/reference/src/function.py:607-615).
+# gzip.compress writes MTIME=0 (Python >= 3.11), so the blob is stable.
+DECODABLE_NR_TRACE_ID = "trace-fixed-0001"
+DECODABLE_NR_MARKER = (
+    '[1, "NR_LAMBDA_MONITORING", "H4sIAIXFgWoC/6tWSkksSVSyUqhWSsxLzKksyUyOTy1L'
+    'zSuJh4pH55Xm5OgoQMjo6GqlkqLE5FTPFKAUhKmbllmRmqJrYGBgqFQbGxtbWwsAWc+WV1QAAAA="]'
+)
+
 # {STR} -> STRING (Spark) | VARCHAR (DuckDB). Everything else is common SQL.
 _DERIVE_TEMPLATE = """
 WITH __base AS (
@@ -56,6 +67,8 @@ SELECT conv_id, turn_idx, role,
     WHEN tool = 'custom' THEN 'custom app line ' || CAST(turn_idx AS {STR})
     WHEN user_id % 8 = 3 THEN 'plain log line with no markers ' || CAST(turn_idx AS {STR})
     WHEN turn_idx % 5 = 0 THEN 'START RequestId: ' || req_uuid || ' Version: $LATEST'
+    WHEN turn_idx % 5 = 1 AND user_id % 8 = 0 THEN '{NRD}'
+    WHEN turn_idx % 5 = 1 AND user_id % 8 = 1 AND turn_idx % 10 = 1 THEN '{NRD}'
     WHEN turn_idx % 5 = 1 THEN '[1,"NR_LAMBDA_MONITORING","H4sIAImox"]'
     WHEN turn_idx % 5 = 2 AND user_id % 8 = 0 THEN 'info' || CHR(9) || '2024-01-01T00:00:00Z' || CHR(9) || 'MyLogger' || CHR(9) || '{{"actual":"payload"}}'
     WHEN turn_idx % 5 = 2 AND user_id % 8 = 1 THEN '2020-02-04T00:26:18.068Z ' || req_uuid || ' Task timed out after 3.00 seconds'
@@ -97,7 +110,7 @@ LOG_GROUP_CASE = (
 def derive_sql(dialect: str, events: str = "events") -> str:
     """Transcript derivation SQL for ``dialect`` in {'spark','duckdb'}."""
     str_t = "STRING" if dialect == "spark" else "VARCHAR"
-    return _DERIVE_TEMPLATE.format(STR=str_t, EVENTS=events)
+    return _DERIVE_TEMPLATE.format(STR=str_t, EVENTS=events, NRD=DECODABLE_NR_MARKER)
 
 
 def conv_meta_sql(dialect: str, events: str = "events") -> str:
