@@ -228,15 +228,17 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.2, df_cap=100)
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2)
+    # hash_fn="md5": SQL-expressible hash -> exact DuckDB oracle; the
+    # production default is xxhash64 (same algorithm, faster hash)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.2, hash_fn="md5")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12, bits=60, hash_fn="md5")
 
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -252,7 +254,10 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return similarity.cosine_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+    # serving query: LSH-bucketed candidates + exact verify (no cartesian);
+    # the oracle SQL replays the same bucket algorithm, so the match is
+    # exact by construction. Brute force stays as the pytest recall oracle.
+    return similarity.neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.35, probe_hamming=2)
 
 
 def q_lang_id(spark, sf_dir):
@@ -468,18 +473,90 @@ def _sql_dedup_exact() -> str:
     )
 
 
-def _sql_dedup_ngram_jaccard(threshold_x1000: int = 200) -> str:
+def _sql_dedup_ngram_jaccard(threshold_x1000: int = 200, df_cap: int = 100) -> str:
+    # mirrors the capped candidate-generation + full-set verification of
+    # dedup.ngram_jaccard_pairs(df_cap=...)
     return (
         "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
+        "rare AS (SELECT shingle FROM sh GROUP BY shingle "
+        f"HAVING COUNT(*) <= {df_cap}), "
+        "idx AS (SELECT doc_id, sh.shingle FROM sh JOIN rare ON sh.shingle = rare.shingle), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id), "
         "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), "
-        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter "
-        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "inter AS (SELECT id_a, id_b, COUNT(*) AS inter "
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle "
         "GROUP BY 1, 2) "
         "SELECT id_a, id_b, inter, sa.n_sh AS na, sb.n_sh AS nb, "
         "CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_x1000 "
         "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id "
         "JOIN sizes sb ON inter.id_b = sb.doc_id "
         f"WHERE CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) >= {threshold_x1000}"
+    )
+
+
+_D_MD5L = "CAST('0x' || substring(md5({X}), 1, 15) AS BIGINT)"
+
+
+def _sql_dedup_minhash_lsh(
+    num_hashes: int = 64, bands: int = 16, threshold_x1000: int = 200
+) -> str:
+    """Full MinHash+LSH replayed in DuckDB with the same md5-derived
+    60-bit hash: signatures -> band bucket keys -> candidate pairs ->
+    exact-Jaccard verification of candidates only."""
+    r = num_hashes // bands
+    slots = ", ".join(
+        f"MIN({_D_MD5L.format(X=chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    keys = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(f"CAST(h{b * r + j} AS VARCHAR)" for j in range(r))
+        + ")"
+        for b in range(bands)
+    )
+    return (
+        "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
+        "sig AS (SELECT doc_id, " + slots + " FROM sh GROUP BY doc_id), "
+        "bk AS (SELECT doc_id, b, keys[CAST(b + 1 AS INT)] AS key FROM "
+        "(SELECT doc_id, list_value(" + keys + ") AS keys FROM sig) s, "
+        "unnest(range(0, " + str(bands) + ")) t(b)), "
+        "cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b "
+        "FROM bk x JOIN bk y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT id_a, id_b, COUNT(*) AS inter "
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "JOIN sh b ON b.doc_id = cand.id_b AND b.shingle = a.shingle "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        "CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_x1000 "
+        "FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id "
+        "JOIN sizes sb ON inter.id_b = sb.doc_id "
+        f"WHERE CAST(FLOOR(inter * 1000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) >= {threshold_x1000}"
+    )
+
+
+def _sql_dedup_simhash(bits: int = 60, max_hamming: int = 12) -> str:
+    """SimHash + quarter-blocking replayed in DuckDB (60-bit md5 hash)."""
+    qw = bits // 4
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(bits))
+    return (
+        "WITH docs AS " + _D_DOCS_NORM + ", "
+        "w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM docs), "
+        "h AS (SELECT doc_id, " + _D_MD5L.format(X="word") + " AS hw FROM w), "
+        "v AS (SELECT doc_id, " + votes + " FROM h GROUP BY doc_id), "
+        "s AS (SELECT doc_id, " + sig + " AS simhash FROM v), "
+        f"qt AS (SELECT doc_id, simhash, q, (simhash >> CAST(q * {qw} AS INT)) & {(1 << qw) - 1} AS qh "
+        "FROM s, unnest(range(0, 4)) t(q)) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM qt a JOIN qt b ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 
@@ -529,16 +606,26 @@ def _sql_ann_ivf(n_queries: int = 5, k: int = 10, n_centroids: int = 8) -> str:
     )
 
 
-def _sql_embedding_neardup() -> str:
+def _sql_embedding_neardup(n_planes: int = 8, threshold: float = 0.35) -> str:
+    # same multi-probe sign-bucket LSH + exact verify as
+    # similarity.neardup_pairs_lsh (hamming <= 2 probes)
+    from aws_log_ingestion_spark.operators.similarity import probe_masks
+
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probe_list = ", ".join(str(m) for m in probe_masks(n_planes, 2))
     return (
-        "WITH a AS (SELECT vec_id AS id_a, "
+        "WITH q AS (SELECT vec_id, "
         + _D_QUANT.format(COL="embedding")
-        + " AS qe FROM embeddings), "
-        "b AS (SELECT vec_id AS id_b, "
-        + _D_QUANT.format(COL="embedding")
-        + " AS ne FROM embeddings) "
+        + " AS v, CAST(" + bucket + " AS INT) AS bucket FROM embeddings), "
+        f"a AS (SELECT vec_id AS id_a, v AS qe, xor(bucket, CAST(p AS INT)) AS pb "
+        f"FROM q, unnest([{probe_list}]) t(p)), "
+        "b AS (SELECT vec_id AS id_b, v AS ne, bucket AS pb FROM q) "
         "SELECT id_a, id_b, CAST(FLOOR(" + _D_COS + " * 1000000) AS BIGINT) AS cos_x1e6 "
-        "FROM a, b WHERE id_a < id_b AND " + _D_COS + " >= 0.35"
+        "FROM a JOIN b ON a.pb = b.pb AND id_a < id_b "
+        f"WHERE " + _D_COS + f" >= {threshold}"
     )
 
 
@@ -674,7 +761,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_events_by_sink": _sql_chunk_events_by_sink(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),
-        # dedup_minhash_lsh / dedup_simhash: xxhash64-dependent -> rows-only
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
+        "dedup_simhash": _sql_dedup_simhash(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "ann_ivf": _sql_ann_ivf(),
         # ann_lsh: approximate by design -> rows-only

@@ -18,7 +18,24 @@ recall for shuffle volume explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit hash as a non-negative BIGINT: first 15 hex
+    digits of md5. SQL-expressible in BOTH engines (DuckDB:
+    ``CAST('0x' || substring(md5(x),1,15) AS BIGINT)``), which is what
+    makes the MinHash/SimHash pipelines exactly oracle-able. ~3x slower
+    than xxhash64 (still whole-stage codegen); production callers keep
+    the xxhash64 default and use this for cross-engine verification."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingle_hash(i: int, hash_fn: str) -> Column:
+    """Seeded shingle hash for MinHash slot ``i``."""
+    if hash_fn == "md5":
+        return md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))
+    return F.xxhash64(F.col("shingle"), F.lit(i))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -49,7 +66,7 @@ def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, df_cap: int | None = None
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs via shingle inverted-index join.
 
@@ -57,14 +74,40 @@ def ngram_jaccard_pairs(
     The join only materialises pairs sharing >=1 shingle — the standard
     similarity-join pruning; jaccard reported as x1000 integer so the
     cross-engine value hash is float-free.
+
+    ``df_cap`` (the 100 TB skew guard): shingles appearing in more than
+    ``df_cap`` documents are excluded from CANDIDATE GENERATION (their
+    posting lists are the quadratic hot spots — a boilerplate shingle in
+    10^6 docs makes 10^12 join rows), but verification still counts the
+    FULL intersection, so reported jaccard values are exact. Recall
+    bound: a qualifying pair is missed only if every one of its shared
+    shingles is frequent; for threshold t the pair shares >=
+    t/(1+t)·|A∪B| shingles, so any non-boilerplate overlap survives.
     """
     sh = word_shingles(docs, n).cache()
+    if df_cap is None:
+        index = sh
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("shingle")
+        )
+        index = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    a = index.alias("a")
+    b = index.alias("b")
+    candidates = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact intersection over the FULL shingle sets, candidates only
+    inter = (
+        candidates.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
@@ -84,16 +127,18 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 64) -> DataFrame:
-    """MinHash signature per doc: min over shingles of xxhash64(shingle, seed_i).
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 64, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of hash_i(shingle).
 
     One aggregation produces all signature slots (no explode-by-seed):
-    num_hashes min() columns over the shingle set.
+    num_hashes min() columns over the shingle set. ``hash_fn`` picks
+    xxhash64 (production) or md5 (cross-engine-exact, see md5_long).
     """
     sh = word_shingles(docs, n)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(_shingle_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
@@ -104,6 +149,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH candidate generation, exact-Jaccard verification of
     CANDIDATES ONLY (never the full pair space — that is the point of
@@ -120,19 +166,28 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sh = word_shingles(docs, n).cache()
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min(_shingle_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
-    # over signatures instead of `bands` unioned scans)
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
-            for b in range(bands)
-        ]
-    )
+    # over signatures instead of `bands` unioned scans). The md5 variant
+    # keys buckets on the concatenated slot string (engine-portable);
+    # xxhash64 re-hashes to a compact 64-bit key.
+    if hash_fn == "md5":
+        band_arr = F.array(
+            *[
+                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_arr = F.array(
+            *[
+                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
+                for b in range(bands)
+            ]
+        )
     buckets = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
     )
@@ -179,18 +234,20 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from word-level xxhash64.
+def simhash(docs: DataFrame, bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash per document from word-level hashing.
 
     Each word votes +1/-1 on every bit of its hash; the signature is the
     sign vector. Computed as one explode + one groupBy with ``bits``
-    conditional sums — no Python.
+    conditional sums — no Python. The md5 variant (``hash_fn='md5'``,
+    bits <= 60) is non-negative and exactly oracle-able in SQL.
     """
+    assert hash_fn != "md5" or bits <= 60, "md5_long provides 60 bits"
     words = F.explode(
         F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
     )
     wdf = docs.select("doc_id", words.alias("word"))
-    h = F.xxhash64(F.col("word"))
+    h = md5_long(F.col("word")) if hash_fn == "md5" else F.xxhash64(F.col("word"))
     aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -208,22 +265,30 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Block on 16-bit quarters (a pair within hamming<=3 of 64 bits shares
+    Block on quarters of the signature (a pair within hamming<=3 shares
     at least one identical quarter by pigeonhole when max_hamming < 4;
     for larger radii this is a recall-bounded blocking) then verify with
     bit_count on the XOR.
     """
-    sig = simhash(docs).cache()
+    qw = bits // 4  # quarter width
+    sig = simhash(docs, bits=bits, hash_fn=hash_fn).cache()
     quarters = None
     for q in range(4):
         part = sig.select(
             "doc_id",
             "simhash",
             F.lit(q).alias("q"),
-            F.shiftrightunsigned(F.col("simhash"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+            F.shiftrightunsigned(F.col("simhash"), q * qw)
+            .bitwiseAND(F.lit((1 << qw) - 1))
+            .alias("qh"),
         )
         quarters = part if quarters is None else quarters.unionByName(part)
     a = quarters.alias("a")
@@ -238,7 +303,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

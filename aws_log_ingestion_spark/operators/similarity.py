@@ -200,11 +200,74 @@ def ivf_topk(
     )
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks of hamming weight <= radius over ``n_planes`` bits,
+    ascending. A candidate pair at bucket distance d <= radius is matched
+    by exactly ONE probe (the mask equal to the buckets' XOR), so the
+    probe join never produces duplicate pairs — no dedup shuffle."""
+    assert radius in (0, 1, 2)
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    return sorted(masks)
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: sign-bucket LSH candidates with
+    multi-probing, then EXACT quantized-cosine verification of candidates
+    only (the serving query; ``cosine_neardup_pairs`` is the brute-force
+    recall oracle for tests).
+
+    Multi-probe: side A explodes into its own bucket plus every bucket at
+    hamming distance <= ``probe_hamming`` (bit flips of the sign
+    pattern); side B keeps its single bucket. A pair is generated exactly
+    once per (probe, id_a < id_b) — no dedup shuffle needed. At 100 TB
+    the join keys are content-derived bucket ids (uniform), side B is
+    bucket-partitioned, and candidate volume is ~(probes/2^n_planes)·n²
+    instead of n². Candidate recall is < 1 by design (pairs differing in
+    > probe_hamming leading-dim signs are missed); reported pairs carry
+    exact cosines. tests/test_training_ops.py measures recall against the
+    brute-force oracle.
+    """
+    masks = probe_masks(n_planes, probe_hamming)
+    q = emb.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), n_planes).alias("bucket"),
+    )
+    probes = [F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
+    a = q.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("ea"),
+        F.explode(F.array(*probes)).alias("pb"),
+    )
+    b = q.select(F.col("vec_id").alias("id_b"), F.col("v").alias("eb"), F.col("bucket").alias("pb"))
+    return (
+        a.join(b, ["pb"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.floor(F.col("cos") * 1000000).cast("long").alias("cos_x1e6")
+        )
+    )
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute force, exact).
 
-    vec_id a < b with cosine >= threshold. The n^2 scan is the
-    correctness baseline; ``lsh_topk``'s bucketing is the scale path.
+    vec_id a < b with cosine >= threshold. The n^2 scan is the TEST
+    ORACLE for ``neardup_pairs_lsh`` recall measurement — not the serving
+    query (a cartesian product dies at scale).
     """
     a = emb.select(F.col("vec_id").alias("id_a"), quantize(F.col("embedding")).alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), quantize(F.col("embedding")).alias("eb"))

@@ -168,3 +168,60 @@ def test_multimodal_resize_metadata_sync(spark, docs):
     for r in resized:
         assert r["width"] == 8 and r["height"] == 8
         assert r["n_bytes"] == len(r["payload"])
+
+
+def test_neardup_lsh_planted_recall_and_exactness(spark):
+    """neardup_pairs_lsh is the serving query: its pairs must be a SUBSET
+    of brute force with identical cosines (exact verification), and in
+    the intended regime (true near-dups, cos >= 0.9) multi-probe radius 2
+    must find essentially all of them."""
+    import random
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    planted = set()
+    vid = 0
+    for base_i in range(20):
+        base = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((vid, base))
+        # one perturbed near-dup per base vector (cos ~ 0.99)
+        dup = [x + rng.uniform(-0.05, 0.05) for x in base]
+        rows.append((vid + 1, dup))
+        planted.add((vid, vid + 1))
+        vid += 2
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.neardup_pairs_lsh(
+            emb, threshold=0.9, probe_hamming=2
+        ).collect()
+    }
+    # exactness: every reported pair is a brute-force pair with the same cosine
+    for pair, cos in lsh.items():
+        assert pair in brute and brute[pair] == cos
+    # recall on planted true near-dups
+    found_planted = sum(1 for p in planted if p in lsh)
+    assert found_planted >= 0.9 * len(planted), (found_planted, len(planted))
+
+
+def test_neardup_lsh_no_cartesian_plan(spark):
+    """The serving plan must be an equi-join on bucket keys, never a
+    cartesian/nested-loop product."""
+    import io
+    from contextlib import redirect_stdout
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = similarity.neardup_pairs_lsh(emb, threshold=0.35, probe_hamming=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
