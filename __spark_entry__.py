@@ -192,14 +192,15 @@ def q_chunk_counts_small_cap(spark, sf_dir):
 
 
 def _chunk_counts(spark, sf_dir, cfg):
+    from aws_log_ingestion_spark.operators.route import infra_union
+
     t = _transcripts(spark, sf_dir)
     meta = derive.conv_meta_from_events(spark, sf_dir)
-    hub = enrich(classify(t, cfg), meta)
-    infra_all = None
-    for sink in ("lambda", "vpc", "other"):
-        part = infra_rows(hub, sink, cfg)
-        infra_all = part if infra_all is None else infra_all.unionByName(part)
-    stats = chunk_replay(infra_all, "infra", cfg).unionByName(
+    # cache the hub: both replay branches (infra + logging) read it, and
+    # infra_union routes all three sinks in ONE pass over the cached hub
+    # (plans/job.py does the same with a materialized write)
+    hub = enrich(classify(t, cfg), meta).cache()
+    stats = chunk_replay(infra_union(hub, cfg), "infra", cfg).unionByName(
         chunk_replay(hub, "logging", cfg)
     )
     return chunk_totals(stats).orderBy("sink", "path")

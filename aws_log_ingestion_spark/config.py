@@ -19,6 +19,53 @@ MAX_PAYLOAD_SIZE = 1000 * 1024
 PLUGIN_TYPE = "lambda"
 PLUGIN_VERSION = "2.11.2"
 
+# Region endpoint tables (/root/reference/src/function.py:107-112).
+# This engine does no network IO — the resolved endpoint is ROUTING
+# METADATA recorded on the job manifest, the analog of the reference
+# picking an ingest URL per send (:384-393,422-434,494-508).
+LOGGING_ENDPOINTS = {
+    "us": "https://log-api.newrelic.com/log/v1",
+    "eu": "https://log-api.eu.newrelic.com/log/v1",
+    "jp": "https://log-api.jp.newrelic.com/log/v1",
+}
+INFRA_ENDPOINTS = {
+    "us": "https://cloud-collector.newrelic.com",
+    "eu": "https://cloud-collector.eu01.nr-data.net",
+    "jp": "https://cloud-collector.jp.nr-data.net",
+}
+# INGEST_SERVICE_VERSION (/root/reference/src/function.py:118)
+INGEST_SERVICE_VERSION = "v1"
+
+
+def region_for_license_key(license_key: str) -> str:
+    """License-key prefix -> ingest region (reference :429-434,500-508):
+    'eu'/'jp' prefixes pick those regions, anything else is US."""
+    if license_key.startswith("eu"):
+        return "eu"
+    if license_key.startswith("jp"):
+        return "jp"
+    return "us"
+
+
+def resolve_infra_endpoint(cfg: "PipelineConfig") -> str:
+    """NR_INFRA_ENDPOINT override wins, else the license-key region
+    (reference _get_infra_endpoint :422-434)."""
+    if cfg.infra_endpoint:
+        return cfg.infra_endpoint
+    return INFRA_ENDPOINTS[region_for_license_key(cfg.license_key)]
+
+
+def resolve_logging_endpoint(cfg: "PipelineConfig", ingest_url: str | None = None) -> str:
+    """Precedence: explicit ingest_url > NR_LOGGING_ENDPOINT override >
+    license-key region (reference _get_logging_endpoint :494-508)."""
+    if ingest_url:
+        return ingest_url
+    if cfg.ingest_url:
+        return cfg.ingest_url
+    if cfg.logging_endpoint:
+        return cfg.logging_endpoint
+    return LOGGING_ENDPOINTS[region_for_license_key(cfg.license_key)]
+
 
 def parse_tags(tags_str: str, delimiter: str = ";") -> dict[str, str]:
     """Parse ``k:v;k2:v2`` tag strings, dropping ``aws:``/``plugin:`` keys.
@@ -56,3 +103,10 @@ class PipelineConfig:
     tags: dict[str, str] = field(default_factory=dict)
     # payload cap for the chunk-split replay (reference :76)
     max_payload_size: int = MAX_PAYLOAD_SIZE
+    # LICENSE_KEY (reference :326-332) — only its region prefix matters here
+    license_key: str = ""
+    # NR_INFRA_ENDPOINT / NR_LOGGING_ENDPOINT overrides (reference :427,502)
+    infra_endpoint: str | None = None
+    logging_endpoint: str | None = None
+    # explicit ingest_url argument (reference _get_logging_endpoint :498)
+    ingest_url: str | None = None

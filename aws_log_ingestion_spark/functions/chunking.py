@@ -90,24 +90,20 @@ def build_melt_payload(
         msg = ev["message"]
         if nr_marker.match(msg):
             trace_id = trace_ids[i] if trace_ids is not None else decode_trace_id_str(msg)
-
-        log_message = {
-            "message": msg,
-            "timestamp": ev["timestamp"],
-            "attributes": {"aws": {}},
-        }
-        if trace_id:
-            log_message["trace.id"] = trace_id
-        for k, v in ev.items():
-            if k not in ("id", "message", "timestamp"):
-                log_message["attributes"][k] = v
         if is_lambda_group:
             m = rid_re.search(msg)
             if m:
                 lambda_request_id = m.group(1)
-            if lambda_request_id:
-                log_message["attributes"]["aws"]["lambda_request_id"] = lambda_request_id
-        log_messages.append(log_message)
+        extra = {k: v for k, v in ev.items() if k not in ("id", "message", "timestamp")}
+        log_messages.append(
+            build_log_message(
+                msg,
+                ev["timestamp"],
+                trace_id=trace_id,
+                lambda_request_id=lambda_request_id if is_lambda_group else None,
+                extra=extra,
+            )
+        )
 
     payload = [
         {
@@ -126,6 +122,103 @@ def build_melt_payload(
     if tags:
         payload[0]["common"]["attributes"].update(tags)
     return payload
+
+
+def build_log_message(
+    message: str,
+    timestamp: int,
+    trace_id: str | None = None,
+    lambda_request_id: str | None = None,
+    extra: dict | None = None,
+) -> dict:
+    """One MELT log message with the reference's exact key insertion
+    order (message, timestamp, attributes{aws, extras}, trace.id last —
+    /root/reference/src/function.py:525-545). Pure/stateless: the carried
+    trace id and request id are INPUTS here, which is what lets the
+    salted replay rebuild any turn range without replaying earlier turns.
+    """
+    log_message = {
+        "message": message,
+        "timestamp": timestamp,
+        "attributes": {"aws": {}},
+    }
+    if trace_id:
+        log_message["trace.id"] = trace_id
+    for k, v in (extra or {}).items():
+        log_message["attributes"][k] = v
+    if lambda_request_id:
+        log_message["attributes"]["aws"]["lambda_request_id"] = lambda_request_id
+    return log_message
+
+
+def event_cost_infra(event: dict) -> int:
+    """EXACT byte contribution of one logEvent to the OUTER infra JSON.
+
+    The infra payload embeds the entry as a JSON *string*
+    (build_infra_data), so the inner serialization is escaped once more:
+    each '"' and '\\' gains a backslash. json escaping is per-character,
+    hence escape(concat) == concat(escape) and per-event costs add."""
+    e = json.dumps(event)
+    return len(e.encode()) + e.count('"') + e.count("\\")
+
+
+def event_cost_logging(log_message: dict) -> int:
+    """EXACT byte contribution of one log message to the MELT JSON."""
+    return len(json.dumps(log_message).encode())
+
+
+def empty_payload_len(obj) -> int:
+    """Serialized byte length of a payload with NO events — the envelope
+    constant in raw_len(interval) = empty + sum(costs) + 2*(k-1)."""
+    return len(json.dumps(obj).encode())
+
+
+# DEFLATE's maximum compression ratio: one 258-byte match can encode in
+# ~2 bits with a degenerate Huffman table => gz_len >= raw_len/1032 for
+# ANY input. raw >= cap*1032 therefore PROVES gz >= cap (a guaranteed
+# re-split) without running gzip — the exactness shortcut the salted
+# replay uses to skip compressing the top of the recursion tree.
+GZIP_MAX_RATIO = 1032
+
+
+def frontier_intervals(
+    costs: list[int],
+    empty_len: int,
+    max_size: int = MAX_PAYLOAD_SIZE,
+    ratio: int = GZIP_MAX_RATIO,
+) -> list[tuple[int, int]]:
+    """Walk the binary-halving tree on exact raw byte sums; return the
+    maximal intervals that CANNOT be proven oversized (raw < cap*ratio).
+
+    Every interval above the frontier has gz >= raw/ratio >= cap, so the
+    reference recursion (iter_chunks) provably splits it — its chunks are
+    exactly the union of its children's chunks. Replaying each frontier
+    interval independently therefore reproduces the global recursion
+    bit-for-bit, while bounding per-task bytes to cap*ratio. ``ratio``
+    may be lowered when the payload's true compressibility is known
+    (exactness then requires gz >= raw/ratio to hold for the data).
+    Splits happen at mid = lo + (hi-lo)//2, the order iter_chunks uses.
+    """
+    n = len(costs)
+    prefix = [0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+
+    def raw(lo: int, hi: int) -> int:
+        k = hi - lo
+        return empty_len + (prefix[hi] - prefix[lo]) + 2 * max(0, k - 1)
+
+    out: list[tuple[int, int]] = []
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= 1 or raw(lo, hi) < max_size * ratio:
+            out.append((lo, hi))
+            continue
+        mid = lo + (hi - lo) // 2
+        stack.append((mid, hi))
+        stack.append((lo, mid))
+    return sorted(out)
 
 
 def split_infra(data: dict) -> tuple[dict, dict]:

@@ -96,6 +96,7 @@ def observed_write(
     log: CheckpointLog,
     stage: str,
     order_cols=("conv_id", "turn_idx"),
+    extra: dict | None = None,
 ) -> int:
     """Write one sink with observe() metrics + checkpoint record.
 
@@ -114,7 +115,7 @@ def observed_write(
     rows = obs.get["rows"]
     lineage = file_lineage(path)
     assert sum(e["rows"] for e in lineage) == rows, "lineage/observe count drift"
-    log.record(stage, {"rows": rows, "path": path, "lineage": lineage})
+    log.record(stage, {"rows": rows, "path": path, "lineage": lineage, **(extra or {})})
     return rows
 
 

@@ -129,6 +129,252 @@ def chunk_replay(df: DataFrame, path: str, cfg: PipelineConfig | None = None) ->
     )
 
 
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("lo", LongType()),
+        StructField("hi", LongType()),
+    ]
+)
+
+INTERVAL_STATS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("sink", StringType()),
+        StructField("path", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("total_gz_bytes", LongType()),
+        StructField("max_chunk_bytes", LongType()),
+    ]
+)
+
+
+def _conv_ordinal(conv_id: str) -> int:
+    return int("".join(ch for ch in conv_id if ch.isdigit()) or 0)
+
+
+def _build_event(conv_id: str, turn_idx: int, ts_millis: int, text: str) -> dict:
+    return {
+        "id": C.make_event_id(_conv_ordinal(conv_id), int(turn_idx)),
+        "timestamp": int(ts_millis),
+        "message": text,
+    }
+
+
+def _envelope(first, path: str, cfg: PipelineConfig):
+    """(payload-with-no-events, split_fn, message-builder context) for one
+    conversation — shared by the cost/frontier pass and interval replay."""
+    conv_id = first["conv_id"]
+    entry = C.build_entry(
+        conv_id,
+        first.get("log_group", "") or "",
+        first.get("log_stream_name", "") or "",
+        first.get("owner", "") or "",
+        [],
+    )
+    if path == "infra":
+        context = {
+            "function_name": first.get("function_name", "") or "",
+            "invoked_function_arn": first.get("invoked_function_arn", "") or "",
+            "log_group_name": first.get("log_group", "") or "",
+            "log_stream_name": first.get("log_stream_name", "") or "",
+        }
+        return C.build_infra_data(context, entry), C.split_infra
+    payload = C.build_melt_payload(entry, lambda_prefix=cfg.lambda_prefix, tags=dict(cfg.tags))
+    return payload, C.split_logging
+
+
+def _with_pos_and_state(df: DataFrame, path: str, cfg: PipelineConfig) -> DataFrame:
+    """Stage 0 (pure Catalyst): 0-based event position per conversation,
+    epoch millis, and — for the logging path — the per-event carried
+    trace id / request id (same window fills the MELT projection uses),
+    so interval replay is STATELESS per event."""
+    from ..functions import patterns as P
+    from ..functions.tracing import trace_id_raw
+    from .classify import with_log_group
+
+    if "log_group" not in df.columns:
+        df = with_log_group(df, cfg)
+    run = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    df = df.withColumn(
+        "ts_millis", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).withColumn(
+        "pos",
+        (F.row_number().over(W.partitionBy("conv_id").orderBy("turn_idx")) - 1).cast("long"),
+    )
+    if path == "logging":
+        t = F.col("text")
+        traw = trace_id_raw(t, P.is_nr_marker(t))
+        df = df.withColumn(
+            "trace_fill",
+            F.nullif(F.last(traw, ignorenulls=True).over(run), F.lit("")),
+        )
+        rid = F.when(
+            F.col("log_group").startswith(cfg.lambda_prefix), P.extract_request_id(t)
+        )
+        df = df.withColumn("rid_fill", F.last(rid, ignorenulls=True).over(run))
+    else:
+        df = df.withColumn("trace_fill", F.lit(None).cast("string")).withColumn(
+            "rid_fill", F.lit(None).cast("string")
+        )
+    return df
+
+
+def _message_for(path: str, row) -> dict:
+    if path == "infra":
+        return _build_event(row.conv_id, row.turn_idx, row.ts_millis, row.text)
+    return C.build_log_message(
+        row.text,
+        int(row.ts_millis),
+        trace_id=row.trace_fill or None,
+        lambda_request_id=row.rid_fill or None,
+    )
+
+
+def chunk_replay_salted(
+    df: DataFrame,
+    path: str,
+    cfg: PipelineConfig | None = None,
+    ratio: int = C.GZIP_MAX_RATIO,
+) -> DataFrame:
+    """Two-level EXACT chunk replay — the 100 TB hot-conversation path
+    (SURVEY.md §4 item 1; replaces the one-group-per-conversation
+    ``chunk_replay`` straggler on 10^7-turn conversations).
+
+      1. per-event serialized byte costs (Arrow-batched, no grouping) —
+         json escaping is per-character so interval raw sizes are exact
+         prefix-sum arithmetic (functions/chunking.py:event_cost_*)
+      2. per-conversation frontier walk over (pos, cost) ONLY (two int64
+         columns — the hot conversation's text never ships to one task):
+         intervals with raw >= cap*ratio are provably oversized
+         (gz >= raw/1032) and split without gzipping
+      3. frontier intervals replay independently in parallel
+         (groupBy(conv_id, lo)), each bounded to cap*ratio raw bytes;
+         per-conversation totals merge associatively.
+
+    Bit-exact vs ``chunk_replay`` for any ``ratio`` that upper-bounds the
+    data's true gzip ratio (1032 is the DEFLATE-theoretic bound, always
+    safe); pinned by tests/test_chunks_vs_reference.py.
+    """
+    cfg = cfg or PipelineConfig()
+    max_size = cfg.max_payload_size
+    cols = [c for c in _REQUIRED + _META if c in df.columns]
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(f"chunk_replay_salted missing columns: {missing}")
+    staged = _with_pos_and_state(df.select(*cols), path, cfg).drop("ts")
+
+    # ---- stage 1: per-event cost + per-conv envelope length (Arrow batch)
+    cost_cols = [
+        "conv_id", "turn_idx", "ts_millis", "text", "trace_fill", "rid_fill",
+        "log_group", "log_stream_name", "owner", "function_name",
+        "invoked_function_arn",
+    ]
+    cost_cols = [c for c in cost_cols if c in staged.columns]
+
+    def cost_gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            costs, empties = [], []
+            env_cache: dict[str, int] = {}
+            for row in pdf.itertuples(index=False):
+                if path == "infra":
+                    c = C.event_cost_infra(
+                        _build_event(row.conv_id, row.turn_idx, row.ts_millis, row.text)
+                    )
+                else:
+                    c = C.event_cost_logging(_message_for(path, row))
+                costs.append(c)
+                e = env_cache.get(row.conv_id)
+                if e is None:
+                    obj, _ = _envelope(row._asdict(), path, cfg)
+                    e = env_cache[row.conv_id] = C.empty_payload_len(obj)
+                empties.append(e)
+            out = pd.DataFrame(
+                {"conv_id": pdf["conv_id"], "cost": costs, "empty_len": empties}
+            )
+            out["pos"] = pdf["pos"].values
+            yield out
+
+    cost_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("cost", LongType()),
+            StructField("empty_len", LongType()),
+            StructField("pos", LongType()),
+        ]
+    )
+    costs = staged.select(*cost_cols, "pos").mapInPandas(cost_gen, cost_schema)
+
+    # ---- stage 2: frontier walk over (pos, cost) per conversation
+    def frontier(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        iv = C.frontier_intervals(
+            pdf["cost"].tolist(), int(pdf["empty_len"].iloc[0]), max_size, ratio
+        )
+        return pd.DataFrame(
+            [{"conv_id": pdf["conv_id"].iloc[0], "lo": lo, "hi": hi} for lo, hi in iv]
+        )
+
+    frontiers = costs.groupBy("conv_id").applyInPandas(frontier, FRONTIER_SCHEMA)
+
+    # ---- stage 3: parallel exact replay of each frontier interval
+    joined = staged.join(
+        F.broadcast(frontiers),
+        (staged["conv_id"] == frontiers["conv_id"])
+        & (F.col("pos") >= F.col("lo"))
+        & (F.col("pos") < F.col("hi")),
+    ).drop(frontiers["conv_id"])
+
+    def replay(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos")
+        first = pdf.iloc[0]
+        obj, split_fn = _envelope(first, path, cfg)
+        msgs = [_message_for(path, row) for row in pdf.itertuples(index=False)]
+        if path == "infra":
+            import json
+
+            entry = json.loads(obj["entry"])
+            entry["logEvents"] = msgs
+            obj = {"context": obj["context"], "entry": json.dumps(entry)}
+        else:
+            obj = [{"common": obj[0]["common"], "logs": msgs}]
+        s = C.chunk_stats(obj, split_fn, max_size)
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": first["conv_id"],
+                    "sink": first["sink"],
+                    "path": path,
+                    "n_events": len(msgs),
+                    "n_chunks": s["n_chunks"],
+                    "total_gz_bytes": s["total_gz_bytes"],
+                    "max_chunk_bytes": s["max_chunk_bytes"],
+                }
+            ]
+        )
+
+    per_interval = joined.groupBy("conv_id", "lo").applyInPandas(
+        replay, INTERVAL_STATS_SCHEMA
+    )
+    return per_interval.groupBy("conv_id", "sink", "path").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("total_gz_bytes").alias("total_gz_bytes"),
+        F.max("max_chunk_bytes").alias("max_chunk_bytes"),
+    ).select(*[f.name for f in CHUNK_STATS_SCHEMA.fields])
+
+
 def chunk_totals(stats: DataFrame) -> DataFrame:
     """Per-sink rollup of the replay output (the graded aggregate)."""
     return stats.groupBy("sink", "path").agg(

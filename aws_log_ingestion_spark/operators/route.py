@@ -29,6 +29,17 @@ INFRA_SINKS = (SINK_LAMBDA, SINK_VPC, SINK_OTHER)
 INFRA_SERVICE_PATHS = {SINK_LAMBDA: "/aws/lambda", SINK_VPC: "/aws/vpc", SINK_OTHER: "/aws"}
 
 
+def infra_url(sink: str, cfg: PipelineConfig | None = None) -> str:
+    """Full ingest URL for one infra sink: region endpoint + EntryType
+    path + version (reference _get_infra_url
+    /root/reference/src/function.py:384-393; pinned by
+    test/entry_type_test.py:57-84)."""
+    from ..config import INGEST_SERVICE_VERSION, resolve_infra_endpoint
+
+    cfg = cfg or PipelineConfig()
+    return resolve_infra_endpoint(cfg) + INFRA_SERVICE_PATHS[sink] + "/" + INGEST_SERVICE_VERSION
+
+
 def infra_rows(classified: DataFrame, sink: str, cfg: PipelineConfig | None = None) -> DataFrame:
     """Rows reaching the given infra sink.
 

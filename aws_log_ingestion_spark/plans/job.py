@@ -89,11 +89,16 @@ def run_pipeline(
                 "overwrite"
             ).partitionBy("sink").parquet(f"{out_dir}/infra")
             per_sink = {s: int(obs.get[s] or 0) for s in INFRA_SINKS}
+            from ..operators.route import infra_url
+
             log.record(
                 "infra",
                 {
                     "rows": sum(per_sink.values()),
                     "per_sink": per_sink,
+                    # routing metadata: the region-resolved ingest URL each
+                    # sink partition would ship to (reference :384-393)
+                    "endpoints": {s: infra_url(s, cfg) for s in INFRA_SINKS},
                     "lineage": ckpt.file_lineage(f"{out_dir}/infra"),
                 },
             )
@@ -102,8 +107,14 @@ def run_pipeline(
             counts[f"infra_{s}_rows"] = per_sink[s]
 
     if cfg.logging_enabled:
+        from ..config import resolve_logging_endpoint
+
         counts["logging_rows"] = ckpt.observed_write(
-            melt_project(hub, cfg), f"{out_dir}/logging", log, "logging"
+            melt_project(hub, cfg),
+            f"{out_dir}/logging",
+            log,
+            "logging",
+            extra={"endpoint": resolve_logging_endpoint(cfg)},
         )
 
     if not log.is_done("chunks"):

@@ -76,3 +76,43 @@ def test_format_logs_end_to_end_matches_reference(spark):
     ]
     assert got == expected
     assert "actual-payload" in got  # the reformat actually fired
+
+
+def test_region_endpoint_routing_matches_reference(monkeypatch):
+    """License-key-prefix -> endpoint table parity, differential against
+    the reference's own _get_infra_endpoint/_get_logging_endpoint
+    (/root/reference/src/function.py:422-434,494-508; the behavior
+    test/log_ingestion_test.py:86-126 pins)."""
+    from aws_log_ingestion_spark.config import (
+        resolve_infra_endpoint,
+        resolve_logging_endpoint,
+    )
+    from aws_log_ingestion_spark.operators.route import INFRA_SINKS, infra_url
+
+    ref = load_reference()
+    for key in ("testlicensekey", "eutestlicensekey", "jptestlicensekey", ""):
+        monkeypatch.setenv("LICENSE_KEY", key)
+        monkeypatch.delenv("NR_INFRA_ENDPOINT", raising=False)
+        monkeypatch.delenv("NR_LOGGING_ENDPOINT", raising=False)
+        cfg = PipelineConfig(license_key=key)
+        assert resolve_infra_endpoint(cfg) == ref._get_infra_endpoint(), key
+        assert resolve_logging_endpoint(cfg) == ref._get_logging_endpoint(), key
+        # full per-sink URL = endpoint + EntryType path + version
+        for sink, entry_type in zip(
+            INFRA_SINKS, (ref.EntryType.LAMBDA, ref.EntryType.VPC, ref.EntryType.OTHER)
+        ):
+            assert infra_url(sink, cfg) == ref._get_infra_url(entry_type), (key, sink)
+
+    # env-style overrides win (NR_INFRA_ENDPOINT / NR_LOGGING_ENDPOINT / ingest_url)
+    monkeypatch.setenv("NR_INFRA_ENDPOINT", "https://example.test/infra")
+    monkeypatch.setenv("NR_LOGGING_ENDPOINT", "https://example.test/log")
+    cfg = PipelineConfig(
+        license_key="eutestlicensekey",
+        infra_endpoint="https://example.test/infra",
+        logging_endpoint="https://example.test/log",
+    )
+    assert resolve_infra_endpoint(cfg) == ref._get_infra_endpoint()
+    assert resolve_logging_endpoint(cfg) == ref._get_logging_endpoint()
+    assert resolve_logging_endpoint(cfg, "https://arg.test") == ref._get_logging_endpoint(
+        "https://arg.test"
+    )
