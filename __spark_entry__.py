@@ -636,14 +636,26 @@ def _d_count_word(w: str) -> str:
 
 
 def _sql_lang_id() -> str:
-    from aws_log_ingestion_spark.operators.text_analysis import LANG_MARKERS
+    from aws_log_ingestion_spark.operators.text_analysis import LANG_MARKERS, LANG_TRIGRAMS
+
+    def tri_score(lang: str) -> str:
+        tgs = LANG_TRIGRAMS[lang]
+        n = len(tgs)
+        terms = [
+            "CAST((length(t3) - length(replace(t3, '" + tg.replace("'", "''") + "', ''))) // 3 AS INT)"
+            f" * {n - rank}"
+            for rank, tg in enumerate(tgs)
+        ]
+        return "(" + " + ".join(terms) + ")"
 
     counts = {
-        lang: " + ".join(_d_count_word(w) for w in ws) for lang, ws in LANG_MARKERS.items()
+        lang: "CAST((" + " + ".join(_d_count_word(w) for w in ws) + ") * 100 + "
+        + tri_score(lang) + " AS INT)"
+        for lang, ws in LANG_MARKERS.items()
     }
-    best = "GREATEST(" + ", ".join(f"({c})" for c in counts.values()) + ")"
     return (
-        "WITH w AS (SELECT doc_id, lang, string_split(" + _D_NORM_DOC + ", ' ') AS w, text "
+        "WITH w AS (SELECT doc_id, lang, string_split(" + _D_NORM_DOC + ", ' ') AS w, "
+        "' ' || " + _D_NORM_DOC + " || ' ' AS t3, text "
         "FROM documents), c AS (SELECT doc_id, lang, "
         + ", ".join(f"({c}) AS c_{lang}" for lang, c in counts.items())
         + ", len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk FROM w) "

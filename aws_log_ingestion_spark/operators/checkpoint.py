@@ -119,6 +119,76 @@ def observed_write(
     return rows
 
 
+def observed_write_bucketed(
+    df: DataFrame,
+    path: str,
+    log: CheckpointLog,
+    stage: str,
+    n_buckets: int = 32,
+    n_batches: int = 4,
+    order_cols=("conv_id", "turn_idx"),
+    fail_after_batches: int | None = None,
+) -> int:
+    """Stage write with PER-CONV-RANGE resume (finer than stage-level).
+
+    Conversations hash into ``n_buckets`` ranges (crc32(conv_id) %
+    n_buckets — content-derived, so deterministic across runs and uniform
+    under skew); buckets commit in ``n_batches`` sequential jobs, each
+    recording its own checkpoint + per-file lineage. A re-run ANTI-JOINS
+    the recorded batches: completed conversation ranges are filtered out
+    of the scan (never recomputed, never rewritten), so a mid-stage kill
+    loses at most 1/n_batches of the stage instead of all of it. Partition
+    overwrite is dynamic, so re-running a half-written batch overwrites
+    only its own bucket directories — idempotent. This is the distributed
+    analog of the reference's per-invocation at-least-once retry
+    (/root/reference/src/function.py:136-177): the unit of redelivery is
+    a conversation range, and the manifest is the dedup ledger.
+
+    ``fail_after_batches`` is a test hook: raise after N batch commits to
+    simulate a mid-stage kill.
+    """
+    bucket = F.crc32(F.col("conv_id")) % n_buckets
+    staged = df.withColumn("conv_bucket", bucket.cast("int"))
+    total = 0
+    done_batches = []
+    for k in range(n_batches):
+        bstage = f"{stage}.b{k}"
+        prior = log.read(bstage)
+        if prior is not None:
+            total += prior["rows"]
+            done_batches.append(k)
+            continue
+        if fail_after_batches is not None and len(done_batches) >= fail_after_batches:
+            raise RuntimeError(f"injected kill after {fail_after_batches} batches")
+        from pyspark.sql import Observation
+
+        obs = Observation(f"obs_{bstage}")
+        part = staged.filter(F.col("conv_bucket") % n_batches == k).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
+        (
+            part.sortWithinPartitions("conv_bucket", *order_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("conv_bucket")
+            .parquet(path)
+        )
+        rows = obs.get["rows"]
+        buckets = [b for b in range(n_buckets) if b % n_batches == k]
+        lineage = [
+            e
+            for e in file_lineage(path)
+            if any(e["file"].startswith(f"conv_bucket={b}/") for b in buckets)
+        ]
+        assert sum(e["rows"] for e in lineage) == rows, "bucket lineage drift"
+        log.record(bstage, {"rows": rows, "path": path, "buckets": buckets, "lineage": lineage})
+        total += rows
+        done_batches.append(k)
+    if log.read(stage) is None:
+        log.record(stage, {"rows": total, "path": path, "batches": n_batches, "buckets": n_buckets})
+    return total
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> dict:
     """All recorded stages as {stage: payload}."""
     ckpt_dir = os.path.join(out_dir, "_checkpoints")

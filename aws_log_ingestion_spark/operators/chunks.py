@@ -264,6 +264,8 @@ def chunk_replay_salted(
     cfg = cfg or PipelineConfig()
     max_size = cfg.max_payload_size
     cols = [c for c in _REQUIRED + _META if c in df.columns]
+    if "log_group" not in df.columns and "tool" in df.columns:
+        cols.append("tool")  # with_log_group derives log_group from tool
     missing = [c for c in _REQUIRED if c not in df.columns]
     if missing:
         raise ValueError(f"chunk_replay_salted missing columns: {missing}")

@@ -24,6 +24,40 @@ LANG_MARKERS = {
     "es": ["el", "los", "y"],
 }
 
+# Char-trigram profiles (Cavnar & Trenkle-style most-frequent trigrams,
+# rank-weighted): the richer lang-id feature set. Leading/trailing
+# spaces capture word-boundary trigrams on the space-padded text.
+LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", "ng ", " an", "and", "nd ", "ion",
+           " of", "of ", "ed ", " to", "to ", "ent"],
+    "de": ["er ", "en ", " de", "der", "ie ", "ch ", "sch", "ein", "die",
+           "und", " un", "ich", "cht", "ung", "gen"],
+    "fr": [" de", "de ", "es ", " le", "le ", "ent", "nt ", " la", "la ",
+           "que", " qu", "ue ", "ait", "les", " et"],
+    "es": [" de", "de ", "os ", " la", "la ", " el", "el ", "que", " qu",
+           "ue ", "ión", " en", "en ", "ado", "nte"],
+}
+
+
+def trigram_scores(text: Column) -> dict[str, Column]:
+    """Rank-weighted profile-trigram OCCURRENCE counts per language,
+    computed as pure Catalyst expressions: for each profile trigram,
+    occurrences = (len(t) - len(replace(t, tg, ''))) / 3 on the padded
+    normalized text. ~60 replace+length pairs, all whole-stage codegen —
+    no explode, no join, no shuffle."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), F.lit(" ")
+    )
+    out: dict[str, Column] = {}
+    for lang, tgs in LANG_TRIGRAMS.items():
+        n = len(tgs)
+        score = F.lit(0)
+        for rank, tg in enumerate(tgs):
+            occ = (F.length(norm) - F.length(F.replace(norm, F.lit(tg)))) / 3
+            score = score + occ.cast("int") * F.lit(n - rank)
+        out[lang] = score.cast("int")
+    return out
+
 
 def _norm_words(text: Column) -> Column:
     return F.split(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), " ")
@@ -82,11 +116,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Marker-word language heuristic with fixed tie-break order
-    en > de > fr > es > unknown (CJK detected by codepoint class)."""
+    """Language ID: marker words + rank-weighted char-trigram profiles
+    (Cavnar & Trenkle-style), fixed tie-break order en > de > fr > es >
+    unknown (CJK detected by codepoint class). Marker-word hits dominate
+    (x100) so unambiguous function words decide; the trigram profile
+    scores break ties and cover marker-free text."""
     words = _norm_words(F.col("text"))
+    tri = trigram_scores(F.col("text"))
     counts = {
-        lang: sum((_count_word(words, w) for w in markers), F.lit(0))
+        lang: (
+            sum((_count_word(words, w) for w in markers), F.lit(0)) * 100 + tri[lang]
+        ).cast("int")
         for lang, markers in LANG_MARKERS.items()
     }
     n_cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0))

@@ -63,13 +63,15 @@ def run_pipeline(
     if not resume:
         log.clear()
 
-    # stage 0: the hub — the single wide shuffle, written once
+    # stage 0: the hub — the single wide shuffle, written once. Bucketed
+    # by conversation range with per-batch checkpoints: a mid-stage kill
+    # resumes from the last committed range, not from zero.
     hub_path = f"{out_dir}/classified"
     if not log.is_done("classified"):
-        ckpt.observed_write(
+        ckpt.observed_write_bucketed(
             prepare(transcripts, conv_meta, cfg), hub_path, log, "classified"
         )
-    hub = spark.read.parquet(hub_path)
+    hub = spark.read.parquet(hub_path).drop("conv_bucket")
 
     counts: dict[str, int] = {}
     if cfg.infra_enabled:

@@ -23,6 +23,14 @@ test/events/*.json); see FIXTURES.md §3. Conversations are keyed on
 
 Request-ids rotate every 5 turns within a conversation so the
 forward-fill (reference :538-545) is non-trivial.
+
+NR marker lines (turn_idx % 5 == 1 in lambda conversations) come in two
+forms: user_id%8==0 conversations carry the DECODABLE blob literal
+(``DECODABLE_NR_MARKER`` -> trace id ``trace-fixed-0001``); user_id%8==1
+alternates decodable/undecodable every other marker so the decode ->
+carry -> ''-clear transitions all occur on real rows; user_id%8==2 keeps
+the undecodable short marker. The oracle SQL knows the literal's trace id
+by construction.
 """
 
 from __future__ import annotations

@@ -142,8 +142,17 @@ local[{n_big}]: {results[n_big]["queries"]["chunk_replay_5pct"]:.1f}s —
 local[{n_small}]: {results[n_small]["queries"]["chunk_replay_5pct"]:.1f}s.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    target = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # SCALE_SECTION=<title>: append as a secondary section (e.g. the
+    # stated local[8]/local[32] pair next to the pinned 2/8 headline)
+    section = os.environ.get("SCALE_SECTION")
+    if section:
+        body = "\n\n---\n\n# " + section + "\n" + md.split("\n", 1)[1]
+        with open(target, "a") as f:
+            f.write(body)
+    else:
+        with open(target, "w") as f:
+            f.write(md)
     print(md)
 
 

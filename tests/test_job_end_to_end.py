@@ -102,3 +102,33 @@ def test_partial_failure_resume(spark, template_df, template_meta_df, tmp_path):
     result = run_pipeline(spark, template_df, template_meta_df, out, cfg, resume=True)
     assert result["counts"] == _expected_counts()
     assert ckpt.read_manifest(None, out)["classified"]["wall_time"] == hub_time
+
+
+def test_mid_stage_kill_resumes_per_conv_range(
+    spark, template_df, template_meta_df, tmp_path
+):
+    """Kill INSIDE the hub stage after 2 of 4 conversation-range batches:
+    resume completes only the missing ranges (completed batch records are
+    not rewritten) and converges to a clean run's counts."""
+    out = str(tmp_path / "midstage")
+    cfg = PipelineConfig(logging_enabled=True)
+    from aws_log_ingestion_spark.plans.job import prepare
+
+    log = ckpt.CheckpointLog(out)
+    hub_df = prepare(template_df, template_meta_df, cfg)
+    with pytest.raises(RuntimeError, match="injected kill"):
+        ckpt.observed_write_bucketed(
+            hub_df, f"{out}/classified", log, "classified", fail_after_batches=2
+        )
+    done = [k for k in range(4) if log.read(f"classified.b{k}") is not None]
+    assert len(done) == 2
+    times = {k: log.read(f"classified.b{k}")["wall_time"] for k in done}
+
+    result = run_pipeline(spark, template_df, template_meta_df, out, cfg, resume=True)
+    assert result["counts"] == _expected_counts()
+    for k, t in times.items():
+        assert log.read(f"classified.b{k}")["wall_time"] == t, f"range batch {k} rewritten"
+    assert sum(log.read(f"classified.b{k}")["rows"] for k in range(4)) == template_df.count()
+    # lineage covers every bucket exactly once across batches
+    buckets = [b for k in range(4) for b in log.read(f"classified.b{k}")["buckets"]]
+    assert sorted(buckets) == list(range(32))

@@ -70,3 +70,57 @@ def test_request_id_carries_across_micro_batches(spark, tmp_path):
     assert got[("cx", 2)] == uuid_a  # <- crossed the micro-batch boundary
     assert got[("cx", 3)] == uuid_b
     assert got[("cy", 0)] is None  # fresh conversation starts empty
+
+
+def test_windowed_turn_rate_stream_equals_batch(spark, template_df, tmp_path):
+    """Watermarked event-time windowed agg: the streaming (availableNow)
+    result equals the same plan run in batch mode — windows, counts and
+    HLL distinct-conv estimates identical."""
+    from aws_log_ingestion_spark.config import PipelineConfig
+    from aws_log_ingestion_spark.streaming.windowed import windowed_turn_rate
+
+    from aws_log_ingestion_spark.operators.classify import classify
+
+    in_dir = str(tmp_path / "win_in")
+    out_dir = str(tmp_path / "win_out")
+    ck = str(tmp_path / "win_ck")
+    cfg = PipelineConfig(logging_enabled=True)
+    # streaming consumes the CLASSIFIED hub table (conv-level classify
+    # windows are not expressible on an unbounded stream)
+    classify(template_df, cfg, fill_request_ids=False).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(in_dir).schema
+    ).parquet(in_dir)
+    def run_once():
+        q = (
+            windowed_turn_rate(stream, cfg)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # batch 1: windows still open (watermark hasn't passed)
+    want = {
+        (r["window_start"], r["sink"]): (r["n_turns"], r["approx_convs"])
+        for r in windowed_turn_rate(spark.read.parquet(in_dir), cfg).collect()
+    }
+    # batch 2: one event far past the watermark horizon finalizes batch
+    # 1's windows (append mode emits a window once watermark > its end)
+    flush_ts = F.timestamp_millis(F.lit(1548935491000 + 3_600_000))
+    spark.read.parquet(in_dir).limit(1).withColumn("ts", flush_ts).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_once()
+
+    got = {
+        (r["window_start"], r["sink"]): (r["n_turns"], r["approx_convs"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want and len(got) > 0  # flush row's own window never emits

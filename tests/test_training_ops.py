@@ -225,3 +225,25 @@ def test_neardup_lsh_no_cartesian_plan(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lang_id_trigram_fallback_without_markers(spark):
+    """Text containing NONE of the marker words is still identified via
+    the char-trigram profiles."""
+    rows = [
+        (0, "ich brauche einen schnellen rechner durchsuchung", "de"),
+        (1, "quelques questions entre quarante musiciens parlaient", "fr"),
+        (2, "walking through evening weather, something interesting", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    got = {r["doc_id"]: r for r in text_analysis.lang_id(df).collect()}
+    assert got[0]["pred_lang"] == "de"
+    assert got[1]["pred_lang"] == "fr"
+    assert got[2]["pred_lang"] == "en"
+    # no marker words present in any of these texts
+    from aws_log_ingestion_spark.operators.text_analysis import LANG_MARKERS
+
+    markers = {w for ws in LANG_MARKERS.values() for w in ws}
+    assert all(not (set(t.split()) & markers) for _, t, _ in rows)
