@@ -37,6 +37,13 @@ INFRA_ENDPOINTS = {
 INGEST_SERVICE_VERSION = "v1"
 
 
+def debug_logging_enabled(env_value: str | None) -> bool:
+    """DEBUG_LOGGING_ENABLED semantics (/root/reference/src/function.py:
+    353-359): case-insensitive 'true' enables, anything else (or unset)
+    is false. Drives the Spark log level in session.get_spark."""
+    return (env_value or "false").lower() == "true"
+
+
 def region_for_license_key(license_key: str) -> str:
     """License-key prefix -> ingest region (reference :429-434,500-508):
     'eu'/'jp' prefixes pick those regions, anything else is US."""

@@ -55,5 +55,10 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    # DEBUG_LOGGING_ENABLED parity (/root/reference/src/function.py:353-359)
+    from .config import debug_logging_enabled
+
+    spark.sparkContext.setLogLevel(
+        "DEBUG" if debug_logging_enabled(os.environ.get("DEBUG_LOGGING_ENABLED")) else "WARN"
+    )
     return spark

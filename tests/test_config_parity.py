@@ -116,3 +116,17 @@ def test_region_endpoint_routing_matches_reference(monkeypatch):
     assert resolve_logging_endpoint(cfg, "https://arg.test") == ref._get_logging_endpoint(
         "https://arg.test"
     )
+
+
+@pytest.mark.parametrize(
+    "env", ["true", "True", "TRUE", "false", "1", "yes", None]
+)
+def test_debug_logging_flag_matches_reference(monkeypatch, env):
+    from aws_log_ingestion_spark.config import debug_logging_enabled
+
+    ref = load_reference()
+    if env is None:
+        monkeypatch.delenv("DEBUG_LOGGING_ENABLED", raising=False)
+    else:
+        monkeypatch.setenv("DEBUG_LOGGING_ENABLED", env)
+    assert debug_logging_enabled(env) == ref._debug_logging_enabled()
