@@ -278,9 +278,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_winnow_fingerprint(spark, sf_dir):
-    return text_analysis.winnow_fingerprints(_docs(spark, sf_dir)).select(
-        "doc_id", "n_fingerprints"
+    # modular checksum instead of the array column (differ-safe) — the
+    # fold-with-mod equals sum-then-mod, which is what the oracle computes
+    fps = text_analysis.winnow_fingerprints(_docs(spark, sf_dir))
+    chk = F.aggregate(
+        F.col("fingerprints"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a + x) % F.lit(1000000007),
     )
+    return fps.select("doc_id", "n_fingerprints", chk.alias("fp_checksum"))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -587,6 +593,29 @@ def _sql_ann_cosine_topk() -> str:
     )
 
 
+def _sql_ann_lsh(n_queries: int = 5, k: int = 10, n_planes: int = 8) -> str:
+    # replays lsh_topk's deterministic bucket algorithm exactly: sign
+    # bucket from the leading dims, same-bucket candidates, quantized
+    # cosine, (cos desc, neighbor_id) rank
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    quant = _D_QUANT.format(COL="embedding")
+    return (
+        "WITH b AS (SELECT vec_id, " + quant + " AS v, CAST(" + bucket + " AS INT) AS bucket "
+        "FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, v AS qe, bucket AS qb FROM b WHERE vec_id < {n_queries}), "
+        "c AS (SELECT vec_id AS neighbor_id, v AS ne, bucket AS nb FROM b), "
+        "scored AS (SELECT query_id, neighbor_id, " + _D_COS + " AS cos "
+        "FROM c JOIN q ON nb = qb WHERE neighbor_id != query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank, "
+        "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
+        f"SELECT query_id, neighbor_id, rank, cos_x1e6 FROM ranked WHERE rank <= {k}"
+    )
+
+
 def _sql_ann_ivf(n_queries: int = 5, k: int = 10, n_centroids: int = 8) -> str:
     quant = _D_QUANT.format(COL="embedding")
     return (
@@ -708,6 +737,21 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+def _sql_winnow_fingerprint(k: int = 5, window: int = 4) -> str:
+    md5l = "CAST('0x' || substring(md5(substring(s, CAST(i AS INT), " + str(k) + ")), 1, 15) AS BIGINT)"
+    return (
+        "WITH sdoc AS (SELECT doc_id, " + _D_NORM_DOC + " AS s FROM documents), "
+        f"h AS (SELECT doc_id, list_transform(range(1, length(s) - {k - 1} + 1), i -> "
+        + md5l + ") AS hs FROM sdoc), "
+        f"m AS (SELECT doc_id, list_transform(range(1, length(hs) - {window - 1} + 1), j -> "
+        f"list_min(hs[CAST(j AS INT):CAST(j + {window - 1} AS INT)])) AS mins FROM h), "
+        "f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m) "
+        "SELECT doc_id, CAST(length(fps) AS BIGINT) AS n_fingerprints, "
+        "CAST(COALESCE(list_aggregate(fps, 'sum'), 0) % 1000000007 AS BIGINT) AS fp_checksum "
+        "FROM f"
+    )
+
+
 def _sql_multimodal_features() -> str:
     """Exact oracle for the fake byte-mean features: DuckDB reads payload
     bytes via hex() + strpos (no blob indexing), reproduces the
@@ -740,6 +784,22 @@ def _sql_multimodal_features() -> str:
         "SELECT m.doc_id, m.media_type, CAST(m.n_bytes AS BIGINT) AS n_bytes, " + fcols + " "
         "FROM m LEFT JOIN s ON m.doc_id = s.doc_id "
         "GROUP BY 1, 2, 3"
+    )
+
+
+def _sql_multimodal_resize() -> str:
+    """Exact oracle for the resize stub's metadata contract: ratio =
+    trunc((w*h)/(32*32)) (exact in doubles for w*h < 2^19), resized
+    payload length = ceil(n/ratio) (numpy arr[::ratio] length)."""
+    return (
+        "WITH m AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN 'image/png' WHEN doc_id % 3 = 1 THEN 'audio/wav' "
+        "ELSE 'video/mp4' END AS media_type, "
+        "CAST(doc_id % 640 + 32 AS BIGINT) * CAST(doc_id % 480 + 32 AS BIGINT) AS area, "
+        "octet_length(CAST(text AS BLOB)) AS n_raw FROM documents), "
+        "r AS (SELECT doc_id, media_type, GREATEST(1, area // 1024) AS ratio, n_raw FROM m) "
+        "SELECT doc_id, media_type, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height, "
+        "CAST((n_raw + ratio - 1) // ratio AS BIGINT) AS n_bytes FROM r"
     )
 
 
@@ -777,14 +837,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
+        "ann_lsh": _sql_ann_lsh(),
         "ann_ivf": _sql_ann_ivf(),
-        # ann_lsh: approximate by design -> rows-only
         "embedding_neardup": _sql_embedding_neardup(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality_score(),
         "token_count": _sql_token_count(),
         "doc_fingerprint": _sql_doc_fingerprint(),
-        # winnow_fingerprint: Python-side rolling hash -> rows-only
+        "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
+        "multimodal_resize": _sql_multimodal_resize(),
         "frame_sample": _sql_frame_sample(),
     }

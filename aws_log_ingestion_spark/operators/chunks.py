@@ -377,6 +377,38 @@ def chunk_replay_salted(
     ).select(*[f.name for f in CHUNK_STATS_SCHEMA.fields])
 
 
+def chunk_replay_hybrid(
+    df: DataFrame,
+    path: str,
+    cfg: PipelineConfig | None = None,
+    hot_threshold: int = 100_000,
+    ratio: int = C.GZIP_MAX_RATIO,
+) -> DataFrame:
+    """Production chunk stage: size-routed replay.
+
+    One cheap count aggregate finds conversations above ``hot_threshold``
+    events; those go through the two-level ``chunk_replay_salted`` (no
+    single-task straggler), everything else through the plain grouped
+    replay (lower constant cost — the salted path's extra cost/frontier
+    passes aren't worth it for small groups; see BENCH/skew.md). Both
+    paths are exact, so the routing threshold is purely a performance
+    knob. The hot set is broadcast (it is tiny by construction — at most
+    total_rows / hot_threshold conversations).
+    """
+    cfg = cfg or PipelineConfig()
+    hot = (
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select("conv_id")
+    )
+    cold_stats = chunk_replay(df.join(F.broadcast(hot), "conv_id", "left_anti"), path, cfg)
+    hot_stats = chunk_replay_salted(
+        df.join(F.broadcast(hot), "conv_id", "left_semi"), path, cfg, ratio=ratio
+    )
+    return cold_stats.unionByName(hot_stats)
+
+
 def chunk_totals(stats: DataFrame) -> DataFrame:
     """Per-sink rollup of the replay output (the graded aggregate)."""
     return stats.groupBy("sink", "path").agg(

@@ -111,12 +111,12 @@ def lsh_topk(
     bucketed = emb.withColumn("bucket", sign_bucket(F.col("embedding"), n_planes))
     q = bucketed.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
+        quantize(F.col("embedding")).alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
     c = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
+        quantize(F.col("embedding")).alias("n_emb"),
         F.col("bucket").alias("n_bucket"),
     )
     scored = (

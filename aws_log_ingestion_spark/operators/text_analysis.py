@@ -1,10 +1,11 @@
 """Text analysis for training-data pipelines over the ``documents`` table.
 
-All four operators are pure Catalyst expressions (no UDFs): language-ID
-(marker-word heuristic), quality scoring, token counting (whitespace +
-BPE-ish regex), and document fingerprinting. Each has an exact ANSI-SQL
-oracle; the computations are deliberately integer/string-valued so
-cross-engine hashing is stable.
+ALL five operators are pure Catalyst expressions (no UDFs, no Python on
+the hot path): language-ID (marker words + char-trigram profiles),
+quality scoring, token counting (whitespace + BPE-ish regex), md5
+document fingerprinting, and winnowing fingerprints (array higher-order
+functions). Each has an exact ANSI-SQL oracle; the computations are
+deliberately integer/string-valued so cross-engine hashing is stable.
 """
 
 from __future__ import annotations
@@ -161,53 +162,44 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFrame:
-    """Winnowing (rolling-hash) document fingerprints — the
-    plagiarism-detection style local fingerprint set.
+    """Winnowing (Schleimer et al., SIGMOD 2003) document fingerprints —
+    the plagiarism-detection style local fingerprint set.
 
-    Rolling k-gram hashes + per-window minima (Schleimer et al., SIGMOD
-    2003 'Winnowing: Local Algorithms for Document Fingerprinting').
-    Python-side arithmetic -> Arrow-batched mapInPandas; no SQL oracle
-    (driver records rows-only).
+    PURE CATALYST (round 2 rewrite of the Python rolling-hash version):
+    k-gram hashes are md5_long(substring) built with array higher-order
+    functions, window minima via slice+array_min — per-row array math,
+    zero shuffle, zero Python, and therefore exactly SQL-oracle-able.
+    Semantics match the classic formulation: hash every k-gram of the
+    whitespace-normalized text, take the min of every ``window``
+    consecutive hashes, emit the distinct minima sorted. Documents
+    shorter than k (or with fewer than ``window`` k-grams) fingerprint
+    to the empty set.
     """
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+    from .dedup import md5_long
 
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("n_fingerprints", LongType()),
-            StructField("fingerprints", ArrayType(LongType())),
-        ]
+    s = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    n_grams = F.length(s) - F.lit(k - 1)
+    empty = F.array().cast("array<bigint>")
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: md5_long(F.substring(s, i, k))
+        ),
+    ).otherwise(empty)
+    staged = docs.select("doc_id", hs.alias("hs"))
+    n_windows = F.size(F.col("hs")) - F.lit(window - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, window)),
+        ),
+    ).otherwise(empty)
+    return (
+        staged.select("doc_id", F.array_sort(F.array_distinct(mins)).alias("fingerprints"))
+        .select(
+            "doc_id",
+            F.size(F.col("fingerprints")).cast("long").alias("n_fingerprints"),
+            "fingerprints",
+        )
     )
-
-    def gen(batches):
-        import pandas as pd
-
-        MOD = (1 << 61) - 1
-        BASE = 257
-
-        def fps(text: str) -> list[int]:
-            s = " ".join(text.lower().split())
-            if len(s) < k:
-                return []
-            h = 0
-            power = pow(BASE, k - 1, MOD)
-            hashes = []
-            for i, ch in enumerate(s):
-                h = (h * BASE + ord(ch)) % MOD
-                if i >= k:
-                    h = (h - ord(s[i - k]) * power * BASE) % MOD
-                if i >= k - 1:
-                    hashes.append(h)
-            sel = set()
-            for i in range(max(0, len(hashes) - window + 1)):
-                sel.add(min(hashes[i : i + window]))
-            return sorted(sel)
-
-        for pdf in batches:
-            out = [
-                {"doc_id": d, "n_fingerprints": len(v), "fingerprints": v}
-                for d, v in zip(pdf["doc_id"], (fps(t) for t in pdf["text"]))
-            ]
-            yield pd.DataFrame(out, columns=["doc_id", "n_fingerprints", "fingerprints"])
-
-    return docs.select("doc_id", "text").mapInPandas(gen, schema)

@@ -123,10 +123,10 @@ def run_pipeline(
         stats_frames = []
         if cfg.infra_enabled:
             stats_frames.append(
-                chunk_op.chunk_replay(infra_union(hub, cfg), "infra", cfg)
+                chunk_op.chunk_replay_hybrid(infra_union(hub, cfg), "infra", cfg)
             )
         if cfg.logging_enabled:
-            stats_frames.append(chunk_op.chunk_replay(hub, "logging", cfg))
+            stats_frames.append(chunk_op.chunk_replay_hybrid(hub, "logging", cfg))
         if stats_frames:
             stats = stats_frames[0]
             for extra in stats_frames[1:]:

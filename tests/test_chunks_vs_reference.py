@@ -212,3 +212,22 @@ def test_salted_decomposition_exact_on_hot_conversation(spark):
     # sanity: ratio=4 really is a bound for this data (gzip >= raw/4)
     blob = "".join(r["text"] for r in rows).encode()
     assert len(gzip.compress(blob)) * 4 >= len(blob)
+
+
+def test_hybrid_routing_exact_regardless_of_threshold(
+    spark, template_df, template_meta_df
+):
+    """The hot/cold routing threshold is a pure performance knob: forcing
+    big_split (500 events) through the salted path changes nothing."""
+    from aws_log_ingestion_spark.operators.chunks import chunk_replay_hybrid
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    base = {r["conv_id"]: r.asDict() for r in chunk_replay(hub, "infra", cfg).collect()}
+    for threshold in (100_000, 100):  # all-cold vs big_split-hot
+        got = {
+            r["conv_id"]: r.asDict()
+            for r in chunk_replay_hybrid(hub, "infra", cfg, hot_threshold=threshold).collect()
+        }
+        assert got == base, threshold
