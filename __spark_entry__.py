@@ -289,6 +289,10 @@ def q_winnow_fingerprint(spark, sf_dir):
     return fps.select("doc_id", "n_fingerprints", chk.alias("fp_checksum"))
 
 
+def q_curate(spark, sf_dir):
+    return text_analysis.curate(_docs(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -346,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "curate": q_curate,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -737,6 +742,37 @@ def _sql_doc_fingerprint() -> str:
     )
 
 
+def _sql_curate(
+    min_quality: int = 60,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> str:
+    # composes the already-verified per-operator oracles (each wrapped as
+    # a parenthesized subquery) with the same first-failing-reason CASE
+    lang_list = ", ".join(f"'{x}'" for x in langs)
+    return (
+        "WITH dd AS (SELECT doc_id, keep_id, is_duplicate FROM (" + _sql_dedup_exact() + ") x), "
+        "q AS (SELECT doc_id, quality FROM (" + _sql_quality_score() + ") x), "
+        "l AS (SELECT doc_id, pred_lang FROM (" + _sql_lang_id() + ") x), "
+        "t AS (SELECT doc_id, n_ws_tokens FROM (" + _sql_token_count() + ") x), "
+        "j AS (SELECT documents.doc_id, keep_id, is_duplicate, quality, pred_lang, n_ws_tokens "
+        "FROM documents JOIN dd ON documents.doc_id = dd.doc_id "
+        "JOIN q ON documents.doc_id = q.doc_id "
+        "JOIN l ON documents.doc_id = l.doc_id "
+        "JOIN t ON documents.doc_id = t.doc_id), "
+        "v AS (SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, "
+        "CASE WHEN is_duplicate = 1 THEN 'duplicate' "
+        f"WHEN n_ws_tokens < {min_tokens} THEN 'too_short' "
+        f"WHEN n_ws_tokens > {max_tokens} THEN 'too_long' "
+        f"WHEN quality < {min_quality} THEN 'low_quality' "
+        f"WHEN pred_lang NOT IN ({lang_list}) THEN 'lang_filtered' "
+        "ELSE 'kept' END AS verdict FROM j) "
+        "SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, verdict, "
+        "CAST(verdict = 'kept' AS INT) AS keep FROM v"
+    )
+
+
 def _sql_winnow_fingerprint(k: int = 5, window: int = 4) -> str:
     md5l = "CAST('0x' || substring(md5(substring(s, CAST(i AS INT), " + str(k) + ")), 1, 15) AS BIGINT)"
     return (
@@ -844,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _sql_quality_score(),
         "token_count": _sql_token_count(),
         "doc_fingerprint": _sql_doc_fingerprint(),
+        "curate": _sql_curate(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

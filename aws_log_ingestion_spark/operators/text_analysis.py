@@ -203,3 +203,53 @@ def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4) -> DataFra
             "fingerprints",
         )
     )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: int = 60,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """End-to-end training-data curation verdict per document — the
+    composition the individual operators exist for: exact-dup removal
+    (keep the min-doc_id representative), quality floor, language
+    allowlist, token-count band. One row per document with the keep
+    verdict and the FIRST failing reason (checks ordered cheapest-first),
+    so curation decisions are auditable rather than silently dropped.
+
+    All pure Catalyst on one pass over the table: the dedup window is the
+    only shuffle; quality/lang/tokens are per-row expressions. At 100 TB
+    this runs as one stage + one window exchange.
+    """
+    from .dedup import exact_dedup
+
+    dedup_v = exact_dedup(docs).select("doc_id", "is_duplicate", "keep_id")
+    lang_v = lang_id(docs).select("doc_id", "pred_lang")
+    qual_v = quality_score(docs).select("doc_id", "quality")
+    tok_v = token_counts(docs).select("doc_id", "n_ws_tokens")
+    j = (
+        docs.select("doc_id")
+        .join(dedup_v, "doc_id")
+        .join(qual_v, "doc_id")
+        .join(lang_v, "doc_id")
+        .join(tok_v, "doc_id")
+    )
+    reason = (
+        F.when(F.col("is_duplicate") == 1, "duplicate")
+        .when(F.col("n_ws_tokens") < min_tokens, "too_short")
+        .when(F.col("n_ws_tokens") > max_tokens, "too_long")
+        .when(F.col("quality") < min_quality, "low_quality")
+        .when(~F.col("pred_lang").isin(*langs), "lang_filtered")
+        .otherwise("kept")
+    )
+    return j.select(
+        "doc_id",
+        "keep_id",
+        "quality",
+        "pred_lang",
+        "n_ws_tokens",
+        reason.alias("verdict"),
+        (reason == "kept").cast("int").alias("keep"),
+    )

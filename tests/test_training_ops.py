@@ -247,3 +247,17 @@ def test_lang_id_trigram_fallback_without_markers(spark):
 
     markers = {w for ws in LANG_MARKERS.values() for w in ws}
     assert all(not (set(t.split()) & markers) for _, t, _ in rows)
+
+
+def test_curate_verdicts_on_planted_docs(docs):
+    got = {r["doc_id"]: r for r in text_analysis.curate(docs, min_quality=60).collect()}
+    # exact dups of doc 0: the min-id representative is kept, others dropped
+    assert got[0]["verdict"] != "duplicate"
+    assert got[2]["verdict"] == "duplicate" and got[2]["keep"] == 0
+    assert got[3]["verdict"] == "duplicate"
+    # 'short' (1 word) fails the token floor first
+    assert got[7]["verdict"] == "too_short"
+    # healthy en/de/fr docs are kept
+    assert got[1]["verdict"] == "kept" and got[1]["keep"] == 1
+    assert got[5]["verdict"] == "kept"
+    assert got[6]["verdict"] == "kept"
