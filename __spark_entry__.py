@@ -251,7 +251,11 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=5, k=10, n_centroids=8)
+    # refine_iters=1: one exact integer-sum Lloyd iteration on the
+    # seed centroids (see similarity.ivf_assign docstring)
+    return similarity.ivf_topk(
+        _emb(spark, sf_dir), n_queries=5, k=10, n_centroids=8, refine_iters=1
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -621,15 +625,52 @@ def _sql_ann_lsh(n_queries: int = 5, k: int = 10, n_planes: int = 8) -> str:
     )
 
 
-def _sql_ann_ivf(n_queries: int = 5, k: int = 10, n_centroids: int = 8) -> str:
+def _sql_ann_ivf(
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    refine_iters: int = 0,
+    dim: int = 64,
+) -> str:
     quant = _D_QUANT.format(COL="embedding")
+
+    def argmax(cents: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT vid AS vec_id, centroid_id AS cell, v FROM ("
+            "  SELECT vid, centroid_id, v, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY "
+            "  (list_inner_product(v, c) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) DESC, centroid_id) AS rn "
+            f"  FROM qv, {cents}) x WHERE rn = 1)"
+        )
+
+    ctes = [
+        "qv AS (SELECT vec_id AS vid, " + quant + " AS v FROM embeddings)",
+        f"cents0 AS (SELECT vid AS centroid_id, v AS c FROM qv WHERE vid < {n_centroids})",
+    ]
+    cents = "cents0"
+    assign = "a0"
+    ctes.append(argmax(cents, assign))
+    for it in range(refine_iters):
+        # integer-sum Lloyd step (scale-invariant under cosine, so no
+        # division — stays exact); empty/zero-sum cells keep the previous
+        # centroid. Mirrors similarity.ivf_assign(refine_iters=...).
+        ctes.append(
+            f"memb{it} AS (SELECT cell, d, SUM(v[CAST(d AS INT)]) AS s "
+            f"FROM {assign}, unnest(range(1, {dim + 1})) t(d) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"ref{it} AS (SELECT cell, list_transform(list(s ORDER BY d), x -> CAST(x AS DOUBLE)) AS c_new, "
+            f"MAX(ABS(s)) AS mx FROM memb{it} GROUP BY cell)"
+        )
+        ctes.append(
+            f"cents{it + 1} AS (SELECT centroid_id, CASE WHEN ref{it}.cell IS NULL OR mx = 0 "
+            f"THEN c ELSE c_new END AS c FROM cents{it} LEFT JOIN ref{it} ON cents{it}.centroid_id = ref{it}.cell)"
+        )
+        cents = f"cents{it + 1}"
+        assign = f"a{it + 1}"
+        ctes.append(argmax(cents, assign))
     return (
-        "WITH qv AS (SELECT vec_id AS vid, " + quant + " AS v FROM embeddings), "
-        f"cents AS (SELECT vid AS centroid_id, v AS c FROM qv WHERE vid < {n_centroids}), "
-        "assign AS (SELECT vid AS vec_id, centroid_id AS cell, v FROM ("
-        "  SELECT vid, centroid_id, v, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY "
-        "  (list_inner_product(v, c) / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(c, c)))) DESC, centroid_id) AS rn "
-        "  FROM qv, cents) x WHERE rn = 1), "
+        "WITH " + ", ".join(ctes) + ", "
+        f"assign AS (SELECT * FROM {assign}), "
         f"q AS (SELECT vec_id AS query_id, cell AS q_cell, v AS qe FROM assign WHERE vec_id < {n_queries}), "
         "c AS (SELECT vec_id AS neighbor_id, cell AS n_cell, v AS ne FROM assign), "
         "scored AS (SELECT query_id, neighbor_id, n_cell AS cell, " + _D_COS + " AS cos "
@@ -874,7 +915,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "ann_cosine_topk": _sql_ann_cosine_topk(),
         "ann_lsh": _sql_ann_lsh(),
-        "ann_ivf": _sql_ann_ivf(),
+        "ann_ivf": _sql_ann_ivf(refine_iters=1),
         "embedding_neardup": _sql_embedding_neardup(),
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality_score(),

@@ -137,23 +137,10 @@ def lsh_topk(
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """IVF cell assignment with deterministic centroids.
-
-    Centroids are the first ``n_centroids`` vectors (by vec_id) — a
-    deterministic stand-in for trained k-means centroids; in production
-    the centroid table comes from a sampled k-means job and is swapped in
-    here unchanged. Assignment = argmax cosine against the broadcast
-    centroid table, ties broken by centroid id. At 100 TB ``cell``
-    becomes the table's partition key: a query probes one (or a few)
-    cells instead of the full collection.
-    """
+def _argmax_cell(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each (vid, v) to the argmax-cosine centroid (ties by id)."""
     from pyspark.sql import Window as W
 
-    q = emb.select(F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("v"))
-    cents = q.filter(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("centroid_id"), F.col("v").alias("c")
-    )
     scored = q.crossJoin(F.broadcast(cents)).withColumn(
         "ccos", cosine(F.col("v"), F.col("c"))
     )
@@ -165,16 +152,67 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_assign(emb: DataFrame, n_centroids: int = 8, refine_iters: int = 0) -> DataFrame:
+    """IVF cell assignment: deterministic seed centroids + optional exact
+    Lloyd refinement.
+
+    Seeds are the first ``n_centroids`` vectors (by vec_id). Each
+    ``refine_iters`` step recomputes every centroid as the element-wise
+    INTEGER SUM of its members — under cosine similarity the sum points
+    the same direction as the mean (scale-invariant), so no division is
+    needed and the whole iteration stays integer-exact, which is what
+    lets the refined assignment carry an exact SQL oracle. An emptied or
+    zero-sum cell keeps its previous centroid. Assignment = argmax cosine
+    against the broadcast centroid table, ties broken by centroid id. At
+    100 TB ``cell`` becomes the table's partition key: a query probes one
+    (or a few) cells instead of the full collection, and each refinement
+    is one shuffle keyed on (cell, dim).
+    """
+    q = emb.select(F.col("vec_id").alias("vid"), quantize(F.col("embedding")).alias("v"))
+    cents = q.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("centroid_id"), F.col("v").alias("c")
+    )
+    assigned = _argmax_cell(q, cents)
+    for _ in range(refine_iters):
+        memb = assigned.select("cell", F.posexplode(F.col("v")).alias("pos", "val"))
+        sums = memb.groupBy("cell", "pos").agg(F.sum("val").alias("s"))
+        refined = sums.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"].cast("double"),
+            ).alias("c_new"),
+            F.max(F.abs(F.col("s"))).alias("mx"),
+        )
+        cents = (
+            cents.join(refined, cents["centroid_id"] == refined["cell"], "left")
+            .select(
+                "centroid_id",
+                F.when(
+                    F.col("cell").isNull() | (F.col("mx") == 0), F.col("c")
+                )
+                .otherwise(F.col("c_new"))
+                .alias("c"),
+            )
+        )
+        assigned = _argmax_cell(q, cents)
+    return assigned
+
+
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 10, n_centroids: int = 8
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_centroids: int = 8,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-bucketed top-k: score only candidates in the query's cell.
 
-    Fully deterministic (quantized vectors, id tie-breaks) so it carries
-    an exact SQL oracle, unlike typical trained-IVF setups."""
+    Fully deterministic (quantized vectors, integer-sum Lloyd refinement,
+    id tie-breaks) so it carries an exact SQL oracle, unlike typical
+    trained-IVF setups."""
     from pyspark.sql import Window as W
 
-    assigned = ivf_assign(emb, n_centroids)
+    assigned = ivf_assign(emb, n_centroids, refine_iters=refine_iters)
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell"), F.col("v").alias("qv")
     )
