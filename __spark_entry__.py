@@ -297,6 +297,15 @@ def q_curate(spark, sf_dir):
     return text_analysis.curate(_docs(spark, sf_dir))
 
 
+
+def q_shard_assign(spark, sf_dir):
+    return text_analysis.shard_assign(_docs(spark, sf_dir), n_shards=16)
+
+
+def q_stratified_sample(spark, sf_dir):
+    return text_analysis.stratified_sample(_docs(spark, sf_dir), rate_x1000=200)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -355,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "curate": q_curate,
+        "shard_assign": q_shard_assign,
+        "stratified_sample": q_stratified_sample,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -829,6 +840,27 @@ def _sql_winnow_fingerprint(k: int = 5, window: int = 4) -> str:
     )
 
 
+
+def _sql_shard_assign(n_shards: int = 16) -> str:
+    md5l = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(string_split(" + _D_NORM_DOC + ", ' ')) AS INT) AS n_ws_tokens, "
+        f"CAST({md5l} % {n_shards} AS INT) AS shard FROM documents) "
+        "SELECT doc_id, shard, n_ws_tokens, "
+        "CAST(SUM(n_ws_tokens) OVER (PARTITION BY shard) AS BIGINT) AS shard_tokens, "
+        "CAST(COUNT(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_docs FROM t"
+    )
+
+
+def _sql_stratified_sample(rate_x1000: int = 200) -> str:
+    md5l = "CAST('0x' || substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return (
+        f"SELECT doc_id, lang AS stratum, CAST({md5l} % 1000 AS INT) AS sample_bucket, "
+        f"CAST({md5l} % 1000 < {rate_x1000} AS INT) AS sampled FROM documents"
+    )
+
+
 def _sql_multimodal_features() -> str:
     """Exact oracle for the fake byte-mean features: DuckDB reads payload
     bytes via hex() + strpos (no blob indexing), reproduces the
@@ -922,6 +954,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _sql_token_count(),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "curate": _sql_curate(),
+        "shard_assign": _sql_shard_assign(),
+        "stratified_sample": _sql_stratified_sample(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

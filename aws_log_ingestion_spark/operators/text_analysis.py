@@ -253,3 +253,48 @@ def curate(
         reason.alias("verdict"),
         (reason == "kept").cast("int").alias("keep"),
     )
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic training-shard assignment + per-shard token budget.
+
+    Shard = md5-hash bucket of doc_id (content-independent, stable across
+    runs, uniform under any doc_id distribution — the property that makes
+    shards balanced at 100 TB without a global sort). Emits per-doc shard
+    plus the shard's token totals via a window, so downstream packing can
+    split oversized shards. One shuffle on the shard key.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_long
+
+    toks = token_counts(docs).select("doc_id", "n_ws_tokens")
+    assigned = toks.withColumn(
+        "shard", (md5_long(F.col("doc_id").cast("string")) % n_shards).cast("int")
+    )
+    w = W.partitionBy("shard")
+    return assigned.select(
+        "doc_id",
+        "shard",
+        "n_ws_tokens",
+        F.sum("n_ws_tokens").over(w).cast("long").alias("shard_tokens"),
+        F.count(F.lit(1)).over(w).cast("long").alias("shard_docs"),
+    )
+
+
+def stratified_sample(docs: DataFrame, rate_x1000: int = 200, strata_col: str = "lang") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a document iff its md5
+    hash bucket (mod 1000) falls under the stratum's rate. Hash-based
+    (not rand()) so the sample is reproducible, join-stable, and exactly
+    SQL-oracle-able; stratification keeps minority languages represented
+    at the same rate as majority ones. Pure per-row Catalyst — no shuffle.
+    """
+    from .dedup import md5_long
+
+    bucket = md5_long(F.concat(F.col(strata_col), F.lit(":"), F.col("doc_id").cast("string"))) % 1000
+    return docs.select(
+        "doc_id",
+        F.col(strata_col).alias("stratum"),
+        bucket.cast("int").alias("sample_bucket"),
+        (bucket < rate_x1000).cast("int").alias("sampled"),
+    )

@@ -261,3 +261,32 @@ def test_curate_verdicts_on_planted_docs(docs):
     assert got[1]["verdict"] == "kept" and got[1]["keep"] == 1
     assert got[5]["verdict"] == "kept"
     assert got[6]["verdict"] == "kept"
+
+
+def test_shard_assign_deterministic_and_complete(docs):
+    a = {r["doc_id"]: r for r in text_analysis.shard_assign(docs, n_shards=4).collect()}
+    b = {r["doc_id"]: r for r in text_analysis.shard_assign(docs, n_shards=4).collect()}
+    assert {k: v["shard"] for k, v in a.items()} == {k: v["shard"] for k, v in b.items()}
+    assert all(0 <= r["shard"] < 4 for r in a.values())
+    # shard token totals are consistent with membership
+    for s in range(4):
+        members = [r for r in a.values() if r["shard"] == s]
+        if members:
+            assert members[0]["shard_tokens"] == sum(m["n_ws_tokens"] for m in members)
+
+
+def test_stratified_sample_rate_and_stability(spark):
+    rows = [(i, f"document number {i} with some words", "en" if i % 2 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    got = text_analysis.stratified_sample(df, rate_x1000=200).collect()
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["stratum"], []).append(r["sampled"])
+    for stratum, flags in by_stratum.items():
+        rate = sum(flags) / len(flags)
+        assert 0.12 < rate < 0.28, (stratum, rate)  # ~0.2 per stratum
+    # hash-based: rerun identical
+    again = text_analysis.stratified_sample(df, rate_x1000=200).collect()
+    assert {r["doc_id"]: r["sampled"] for r in got} == {r["doc_id"]: r["sampled"] for r in again}
