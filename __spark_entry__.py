@@ -565,21 +565,29 @@ def _sql_dedup_minhash_lsh(
 
 
 def _sql_dedup_simhash(bits: int = 60, max_hamming: int = 12) -> str:
-    """SimHash + quarter-blocking replayed in DuckDB (60-bit md5 hash)."""
-    qw = bits // 4
+    """SimHash + (max_hamming+1)-band blocking replayed in DuckDB (60-bit
+    md5 hash). Bands come from the SAME ``simhash_bands`` partition the
+    Spark operator uses, so the blocking — pigeonhole-exact for
+    hamming <= max_hamming — is bit-identical across engines."""
+    from aws_log_ingestion_spark.operators.dedup import simhash_bands
+
     votes = ", ".join(
         f"SUM(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
     )
     sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(bits))
+    bands = ", ".join(
+        f"({q}, {shift}, {mask})" for q, shift, mask in simhash_bands(bits, max_hamming + 1)
+    )
     return (
         "WITH docs AS " + _D_DOCS_NORM + ", "
         "w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS word FROM docs), "
         "h AS (SELECT doc_id, " + _D_MD5L.format(X="word") + " AS hw FROM w), "
         "v AS (SELECT doc_id, " + votes + " FROM h GROUP BY doc_id), "
         "s AS (SELECT doc_id, " + sig + " AS simhash FROM v), "
-        f"qt AS (SELECT doc_id, simhash, q, (simhash >> CAST(q * {qw} AS INT)) & {(1 << qw) - 1} AS qh "
-        "FROM s, unnest(range(0, 4)) t(q)) "
+        f"bands(q, shift, mask) AS (VALUES {bands}), "
+        "qt AS (SELECT doc_id, simhash, q, (simhash >> CAST(shift AS INT)) & mask AS qh "
+        "FROM s, bands) "
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
         "FROM qt a JOIN qt b ON a.q = b.q AND a.qh = b.qh AND a.doc_id < b.doc_id "

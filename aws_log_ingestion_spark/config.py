@@ -56,20 +56,24 @@ def region_for_license_key(license_key: str) -> str:
 
 def resolve_infra_endpoint(cfg: "PipelineConfig") -> str:
     """NR_INFRA_ENDPOINT override wins, else the license-key region
-    (reference _get_infra_endpoint :422-434)."""
-    if cfg.infra_endpoint:
+    (reference _get_infra_endpoint :422-434). The reference checks env-var
+    PRESENCE (``'NR_INFRA_ENDPOINT' in os.environ``), so a set-but-empty
+    override is honored verbatim — model that as None-vs-set, not truthiness."""
+    if cfg.infra_endpoint is not None:
         return cfg.infra_endpoint
     return INFRA_ENDPOINTS[region_for_license_key(cfg.license_key)]
 
 
 def resolve_logging_endpoint(cfg: "PipelineConfig", ingest_url: str | None = None) -> str:
     """Precedence: explicit ingest_url > NR_LOGGING_ENDPOINT override >
-    license-key region (reference _get_logging_endpoint :494-508)."""
+    license-key region (reference _get_logging_endpoint :494-508).
+    ``ingest_url`` is truthiness-tested (reference ``if ingest_url:``) but
+    the env-var override is a PRESENCE check — '' set is honored."""
     if ingest_url:
         return ingest_url
     if cfg.ingest_url:
         return cfg.ingest_url
-    if cfg.logging_endpoint:
+    if cfg.logging_endpoint is not None:
         return cfg.logging_endpoint
     return LOGGING_ENDPOINTS[region_for_license_key(cfg.license_key)]
 

@@ -147,6 +147,16 @@ def observed_write_bucketed(
     ``fail_after_batches`` is a test hook: raise after N batch commits to
     simulate a mid-stage kill.
     """
+    # Fresh start (no batch checkpoints) into a dir holding a previous
+    # run's output: dynamic partition-overwrite only replaces buckets
+    # present in the NEW data, so stale buckets from the old run would
+    # survive and trip the lineage assert (or leak rows). Truncate first —
+    # the Iceberg analog is CREATE OR REPLACE before the first snapshot.
+    if not any(log.is_done(f"{stage}.b{k}") for k in range(n_batches)):
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
     bucket = F.crc32(F.col("conv_id")) % n_buckets
     staged = df.withColumn("conv_bucket", bucket.cast("int"))
     total = 0

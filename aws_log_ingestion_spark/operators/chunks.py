@@ -207,6 +207,14 @@ def _with_pos_and_state(df: DataFrame, path: str, cfg: PipelineConfig) -> DataFr
         "pos",
         (F.row_number().over(W.partitionBy("conv_id").orderBy("turn_idx")) - 1).cast("long"),
     )
+    # Pin envelope meta to the conversation's turn_idx-min row — the SAME
+    # row the unsalted grouped replay reads (pdf.iloc[0] after sort). The
+    # cost pass, the rid predicate and every interval's replay then agree
+    # on one envelope even if meta varied mid-conversation, preserving the
+    # salted==unsalted bit-exactness guarantee unconditionally.
+    for m in _META:
+        if m in df.columns:
+            df = df.withColumn(m, F.first(F.col(m)).over(run))
     if path == "logging":
         t = F.col("text")
         traw = trace_id_raw(t, P.is_nr_marker(t))
@@ -328,9 +336,13 @@ def chunk_replay_salted(
 
     frontiers = costs.groupBy("conv_id").applyInPandas(frontier, FRONTIER_SCHEMA)
 
-    # ---- stage 3: parallel exact replay of each frontier interval
+    # ---- stage 3: parallel exact replay of each frontier interval.
+    # No broadcast hint: under the hybrid routing (the production wiring)
+    # frontiers is tiny and AQE broadcasts it at runtime anyway; called
+    # standalone on a full corpus it is >= 1 row per conversation and a
+    # forced broadcast would OOM the driver — let AQE pick the strategy.
     joined = staged.join(
-        F.broadcast(frontiers),
+        frontiers,
         (staged["conv_id"] == frontiers["conv_id"])
         & (F.col("pos") >= F.col("lo"))
         & (F.col("pos") < F.col("hi")),

@@ -265,29 +265,46 @@ def simhash(docs: DataFrame, bits: int = 64, hash_fn: str = "xxhash64") -> DataF
     return votes.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_bands(bits: int, n_bands: int) -> list[tuple[int, int, int]]:
+    """(band, shift, mask) triples partitioning ``bits`` into ``n_bands``
+    near-equal contiguous bands — shared by the Spark operator and the
+    DuckDB oracle so both engines block identically."""
+    out = []
+    for q in range(n_bands):
+        lo = q * bits // n_bands
+        hi = (q + 1) * bits // n_bands
+        out.append((q, lo, (1 << (hi - lo)) - 1))
+    return out
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 8,
     bits: int = 64,
     hash_fn: str = "xxhash64",
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance.
 
-    Block on quarters of the signature (a pair within hamming<=3 shares
-    at least one identical quarter by pigeonhole when max_hamming < 4;
-    for larger radii this is a recall-bounded blocking) then verify with
-    bit_count on the XOR.
+    Block on ``n_bands`` contiguous bit-bands of the signature (default
+    ``max_hamming + 1``): a pair within hamming <= n_bands - 1 has at most
+    n_bands - 1 differing-bit bands, so BY PIGEONHOLE at least one band is
+    identical — the blocking is recall-EXACT for the radius asked for.
+    Candidates are then verified with bit_count on the XOR. Passing a
+    smaller ``n_bands`` trades recall (now bounded, not exact) for fewer,
+    wider bands — cheaper candidate generation on low-entropy corpora.
     """
-    qw = bits // 4  # quarter width
+    nb = n_bands if n_bands is not None else max_hamming + 1
+    assert 1 <= nb <= bits, "need 1..bits bands"
     sig = simhash(docs, bits=bits, hash_fn=hash_fn).cache()
     quarters = None
-    for q in range(4):
+    for q, shift, mask in simhash_bands(bits, nb):
         part = sig.select(
             "doc_id",
             "simhash",
             F.lit(q).alias("q"),
-            F.shiftrightunsigned(F.col("simhash"), q * qw)
-            .bitwiseAND(F.lit((1 << qw) - 1))
+            F.shiftrightunsigned(F.col("simhash"), shift)
+            .bitwiseAND(F.lit(mask))
             .alias("qh"),
         )
         quarters = part if quarters is None else quarters.unionByName(part)
