@@ -206,6 +206,37 @@ def _chunk_counts(spark, sf_dir, cfg):
     return chunk_totals(stats).orderBy("sink", "path")
 
 
+def q_chunk_raw_costs(spark, sf_dir):
+    """Per-conversation EXACT raw payload bytes (logging path) — the
+    arithmetic backbone of the chunk recursion (raw = envelope + per-event
+    JSON costs + separators, reference _send_log_entry :223-283), fully
+    SQL-expressible so the previously rows-only chunk surface gains an
+    exact oracle. ``fits_single=1`` proves the reference emits one chunk."""
+    from aws_log_ingestion_spark.operators.chunks import chunk_raw_costs
+
+    cfg = PipelineConfig(logging_enabled=True)
+    hub = enrich(
+        classify(_transcripts(spark, sf_dir), cfg),
+        derive.conv_meta_from_events(spark, sf_dir),
+    )
+    return chunk_raw_costs(hub, "logging", cfg)
+
+
+def q_chunk_raw_costs_infra(spark, sf_dir):
+    """Infra-path twin of q_chunk_raw_costs: the entry rides EMBEDDED as a
+    JSON string (reference :255-261), so every event is escaped twice —
+    the depth-2 arithmetic — over the routed/filtered infra rows."""
+    from aws_log_ingestion_spark.operators.chunks import chunk_raw_costs
+    from aws_log_ingestion_spark.operators.route import infra_union
+
+    cfg = PipelineConfig()
+    hub = enrich(
+        classify(_transcripts(spark, sf_dir), cfg),
+        derive.conv_meta_from_events(spark, sf_dir),
+    )
+    return chunk_raw_costs(infra_union(hub, cfg), "infra", cfg)
+
+
 def q_chunk_events_by_sink(spark, sf_dir):
     """SQL-expressible half of the chunk aggregate: per-sink conversation
     and event totals over the rows each infra sink receives (gzip chunk
@@ -350,6 +381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trace_decode": q_trace_decode,
         "chunk_counts": q_chunk_counts,
         "chunk_counts_small_cap": q_chunk_counts_small_cap,
+        "chunk_raw_costs": q_chunk_raw_costs,
+        "chunk_raw_costs_infra": q_chunk_raw_costs_infra,
         "chunk_events_by_sink": q_chunk_events_by_sink,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -479,6 +512,56 @@ _D_SHINGLES = (
     "FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i "
     "FROM (SELECT doc_id, string_split(t, ' ') AS w FROM docs) ws) x)"
 )
+
+
+def _sql_chunk_raw_costs(path: str) -> str:
+    """EXACT DuckDB replay of chunk_raw_costs: same per-event JSON byte
+    arithmetic (functions/jsoncost.py — shared pattern/weight tables),
+    same carried fills as the melt oracle, same envelope constants."""
+    from aws_log_ingestion_spark.functions import jsoncost as jc
+
+    cfg = PipelineConfig()
+    trace_fill = (
+        "NULLIF(last_value(CASE WHEN " + _D_NR + " THEN " + _D_TRACE_RAW
+        + " END IGNORE NULLS) " + _RUN + ", '')"
+    )
+    rid_fill = (
+        "last_value(CASE WHEN starts_with(" + _D_LOG_GROUP + ", '/aws/lambda') THEN "
+        + _D_RID + " END IGNORE NULLS) " + _RUN
+    )
+    c = (
+        "c AS (SELECT conv_id, turn_idx, text, tool, epoch_ms(ts) AS ts_ms, "
+        + _D_LOG_GROUP + " AS log_group, " + _D_SINK + " AS sink, "
+        + trace_fill + " AS trace_fill, " + rid_fill + " AS rid_fill, "
+        + _D_REPORT + " AS is_report, " + _D_LMSG + " AS is_lmsg FROM t)"
+    )
+    keep = "" if path == "logging" else " WHERE sink != 'lambda' OR (is_report OR is_lmsg)"
+    j = (
+        "j AS (SELECT c.*, m.log_stream_name, m.owner, m.function_name, "
+        "m.invoked_function_arn FROM c LEFT JOIN m "
+        "ON c.conv_id = m.conv_id AND c.tool = m.tool" + keep + ")"
+    )
+    if path == "infra":
+        cost = jc.event_cost_infra_sql("text", "turn_idx", "ts_ms")
+        empty = jc.empty_len_infra_sql(
+            "conv_id", "log_group", "log_stream_name", "owner",
+            "function_name", "invoked_function_arn",
+        )
+    else:
+        cost = jc.event_cost_logging_sql("text", "ts_ms", "trace_fill", "rid_fill")
+        empty = jc.empty_len_logging_sql(cfg, "log_group", "log_stream_name")
+    g = (
+        "g AS (SELECT conv_id, MIN(sink) AS sink, COUNT(*) AS n_events, "
+        f"CAST(SUM({cost}) AS BIGINT) AS cost_sum, "
+        f"CAST(MIN({empty}) AS BIGINT) AS empty_len FROM j GROUP BY conv_id)"
+    )
+    return (
+        "WITH t AS " + _DUCK_T + ", m AS " + _DUCK_META + ", " + c + ", " + j + ", " + g + ", "
+        "r AS (SELECT conv_id, sink, CAST(empty_len + cost_sum + 2*(n_events-1) AS BIGINT) "
+        "AS raw_bytes, n_events FROM g) "
+        f"SELECT conv_id, sink, '{path}' AS path, n_events, raw_bytes, "
+        f"CAST({jc.gz_upper_fits_sql('raw_bytes', cfg.max_payload_size)} AS INT) AS fits_single FROM r"
+    )
 
 
 def _sql_chunk_events_by_sink() -> str:
@@ -948,6 +1031,8 @@ def oracle_sql() -> dict[str, str]:
         "trace_decode": _sql_trace_decode(),
         # chunk_counts / chunk_counts_small_cap: gzip byte arithmetic is not
         # SQL-expressible -> rows-only check (see SURVEY.md §2 row 16)
+        "chunk_raw_costs": _sql_chunk_raw_costs("logging"),
+        "chunk_raw_costs_infra": _sql_chunk_raw_costs("infra"),
         "chunk_events_by_sink": _sql_chunk_events_by_sink(),
         "dedup_exact": _sql_dedup_exact(),
         "dedup_ngram_jaccard": _sql_dedup_ngram_jaccard(),

@@ -181,6 +181,71 @@ def empty_payload_len(obj) -> int:
 GZIP_MAX_RATIO = 1032
 
 
+def gz_len_upper_bound(raw_len: int) -> int:
+    """Upper bound on ``len(gzip.compress(data))`` for ANY ``raw_len``-byte
+    input: deflate's worst-case expansion is 5 bytes per (<=16 KiB) block
+    plus zlib's bound slack, and gzip framing adds 18 bytes —
+    ``raw//1000 + 64`` dominates both. ``gz_len_upper_bound(raw) < cap``
+    therefore PROVES gz < cap (no split needed) without running gzip —
+    the complement of the GZIP_MAX_RATIO lower bound. Most conversations
+    sit far below the 1 MB cap, so the production count path never gzips
+    them at all."""
+    return raw_len + raw_len // 1000 + 64
+
+
+def count_chunks_fast(
+    costs: list[int],
+    empty_len: int,
+    max_size: int = MAX_PAYLOAD_SIZE,
+    gz_len_fn: Callable[[int, int], int] | None = None,
+    ratio: int = GZIP_MAX_RATIO,
+) -> tuple[int, int]:
+    """EXACT ``(n_chunks, total_raw_leaf_bytes)`` of the iter_chunks
+    recursion, gzipping ONLY nodes in the ambiguous size band.
+
+    Walks the same binary-halving tree on exact raw byte sums
+    (raw(lo,hi) = empty + sum(costs[lo:hi]) + 2*(k-1)); a node is a leaf
+    when k <= 1 (the reference emits oversized single events rather than
+    looping) or when ``gz_len_upper_bound(raw) < max_size`` (provably
+    fits), and a split when ``raw >= max_size*ratio`` (provably oversized,
+    gz >= raw/1032). Only the band between the two proofs calls
+    ``gz_len_fn(lo, hi)`` — the real gzip length of that node's payload.
+    ``total_raw_leaf_bytes`` sums each emitted chunk's raw serialized
+    size (envelope included), the uncompressed ship volume.
+    """
+    n = len(costs)
+    prefix = [0]
+    for c in costs:
+        prefix.append(prefix[-1] + c)
+
+    def raw(lo: int, hi: int) -> int:
+        k = hi - lo
+        return empty_len + (prefix[hi] - prefix[lo]) + 2 * max(0, k - 1)
+
+    n_chunks = 0
+    raw_total = 0
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        k = hi - lo
+        r = raw(lo, hi)
+        if k <= 1 or gz_len_upper_bound(r) < max_size:
+            n_chunks += 1
+            raw_total += r
+            continue
+        if r < max_size * ratio:  # ambiguous band: must measure
+            if gz_len_fn is None:
+                raise ValueError("ambiguous-size node needs gz_len_fn")
+            if gz_len_fn(lo, hi) < max_size:
+                n_chunks += 1
+                raw_total += r
+                continue
+        mid = lo + (hi - lo) // 2
+        stack.append((mid, hi))
+        stack.append((lo, mid))
+    return n_chunks, raw_total
+
+
 def frontier_intervals(
     costs: list[int],
     empty_len: int,

@@ -421,6 +421,206 @@ def chunk_replay_hybrid(
     return cold_stats.unionByName(hot_stats)
 
 
+FAST_STATS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("sink", StringType()),
+        StructField("path", StringType()),
+        StructField("n_events", LongType()),
+        StructField("n_chunks", LongType()),
+        StructField("raw_bytes", LongType()),
+    ]
+)
+
+
+def _mcol(df: DataFrame, name: str):
+    """Meta column or '' when absent — mirrors ``first.get(name, '') or ''``
+    in the grouped replay."""
+    return F.col(name) if name in df.columns else F.lit("")
+
+
+def _staged_with_costs(df: DataFrame, path: str, cfg: PipelineConfig):
+    """Stage 0/1 of the arithmetic chunk paths: pos + carried fills +
+    pinned meta (``_with_pos_and_state``), then the EXACT per-event JSON
+    byte cost and per-conversation empty-envelope length as pure Catalyst
+    columns (functions/jsoncost.py) — no Python anywhere."""
+    from ..functions import jsoncost as jc
+
+    cols = [c for c in _REQUIRED + _META if c in df.columns]
+    if "log_group" not in df.columns and "tool" in df.columns:
+        cols.append("tool")
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(f"chunk cost pass missing columns: {missing}")
+    staged = _with_pos_and_state(df.select(*cols), path, cfg).drop("ts")
+    if path == "infra":
+        cost = jc.event_cost_infra_expr(
+            F.col("text"), F.col("turn_idx"), F.col("ts_millis")
+        )
+        empty = jc.empty_len_infra_expr(
+            F.col("conv_id"),
+            _mcol(staged, "log_group"),
+            _mcol(staged, "log_stream_name"),
+            _mcol(staged, "owner"),
+            _mcol(staged, "function_name"),
+            _mcol(staged, "invoked_function_arn"),
+        )
+    else:
+        cost = jc.event_cost_logging_expr(
+            F.col("text"), F.col("ts_millis"), F.col("trace_fill"), F.col("rid_fill")
+        )
+        empty = jc.empty_len_logging_expr(
+            cfg, _mcol(staged, "log_group"), _mcol(staged, "log_stream_name")
+        )
+    return staged.withColumn("__cost", cost).withColumn("__empty", empty)
+
+
+def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Per-conversation EXACT raw payload size — zero Python, one shuffle.
+
+    ``raw_bytes`` is the byte length of ``json.dumps`` of the
+    conversation's full payload (reference ``_send_log_entry`` payload
+    construction, /root/reference/src/function.py:223-283): envelope +
+    sum of per-event costs + 2 bytes per separator. ``fits_single`` is 1
+    when the payload PROVABLY gzips under the cap (gz_len_upper_bound),
+    i.e. the reference recursion emits exactly one chunk. Fully
+    SQL-expressible, hence exactly oracle-able — this is the arithmetic
+    backbone the fast count path and capacity planning share.
+    """
+    cfg = cfg or PipelineConfig()
+    staged = _staged_with_costs(df, path, cfg)
+    from ..functions import jsoncost as jc
+
+    per_conv = (
+        staged.groupBy("conv_id")
+        .agg(
+            F.first("sink").alias("sink"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cost").alias("__cost_sum"),
+            F.first("__empty").alias("__empty"),
+        )
+        .withColumn(
+            "raw_bytes",
+            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
+        )
+    )
+    return per_conv.select(
+        "conv_id",
+        "sink",
+        F.lit(path).alias("path"),
+        "n_events",
+        "raw_bytes",
+        jc.gz_upper_fits_expr(F.col("raw_bytes"), cfg.max_payload_size)
+        .cast("int")
+        .alias("fits_single"),
+    )
+
+
+def chunk_counts_fast(
+    df: DataFrame,
+    path: str,
+    cfg: PipelineConfig | None = None,
+    ratio: int = C.GZIP_MAX_RATIO,
+) -> DataFrame:
+    """EXACT per-conversation chunk counts with gzip only where provably
+    necessary — the production chunk stage (SURVEY.md §2 row 16 at scale).
+
+    Pure-Catalyst cost pre-pass -> per-conversation raw totals; every
+    conversation whose payload provably fits one chunk
+    (``gz_len_upper_bound(raw) < cap`` — the overwhelming majority at the
+    1 MB cap) is answered with ZERO Python and ZERO gzip. Only oversized
+    conversations route through an Arrow-grouped ``count_chunks_fast``
+    walk that gzips nothing but the ambiguous band of the halving tree.
+    n_chunks is bit-identical to ``chunk_replay`` (pinned by
+    tests/test_chunks_vs_reference.py); the byte stat here is
+    ``raw_bytes`` (uncompressed ship volume) — exact gz byte totals
+    remain ``chunk_replay``'s job since they require compressing every
+    chunk by definition.
+    """
+    cfg = cfg or PipelineConfig()
+    max_size = cfg.max_payload_size
+    from ..functions import jsoncost as jc
+
+    staged = _staged_with_costs(df, path, cfg)
+    per_conv = (
+        staged.groupBy("conv_id")
+        .agg(
+            F.first("sink").alias("sink"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cost").alias("__cost_sum"),
+            F.first("__empty").alias("__empty"),
+        )
+        .withColumn(
+            "raw_bytes",
+            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
+        )
+    )
+    fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), max_size)
+    singles = per_conv.filter(fits).select(
+        "conv_id",
+        "sink",
+        F.lit(path).alias("path"),
+        "n_events",
+        F.lit(1).cast("long").alias("n_chunks"),
+        "raw_bytes",
+    )
+    big_ids = per_conv.filter(~fits).select("conv_id")
+    # big_ids is tiny by construction (conversations > ~1 MB serialized);
+    # AQE broadcasts it at runtime — no hard hint for the same reason as
+    # the salted replay's frontier join.
+    big = staged.join(big_ids, "conv_id", "left_semi")
+
+    def walk(pdf):
+        import gzip
+        import json
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        first = pdf.iloc[0]
+        costs = [int(c) for c in pdf["__cost"]]
+        empty = int(pdf["__empty"].iloc[0])
+
+        def gz_len(lo: int, hi: int) -> int:
+            sub = pdf.iloc[lo:hi]
+            msgs = [_message_for(path, row) for row in sub.itertuples(index=False)]
+            obj, _split = _envelope(first, path, cfg)
+            if path == "infra":
+                entry = json.loads(obj["entry"])
+                entry["logEvents"] = msgs
+                obj = {"context": obj["context"], "entry": json.dumps(entry)}
+            else:
+                obj = [{"common": obj[0]["common"], "logs": msgs}]
+            return len(gzip.compress(json.dumps(obj).encode()))
+
+        n_chunks, raw_total = C.count_chunks_fast(costs, empty, max_size, gz_len, ratio)
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": first["conv_id"],
+                    "sink": first["sink"],
+                    "path": path,
+                    "n_events": len(costs),
+                    "n_chunks": n_chunks,
+                    "raw_bytes": raw_total,
+                }
+            ]
+        )
+
+    big_stats = big.groupBy("conv_id").applyInPandas(walk, FAST_STATS_SCHEMA)
+    return singles.unionByName(big_stats)
+
+
+def chunk_totals_fast(stats: DataFrame) -> DataFrame:
+    """Per-sink rollup of the fast count stage (the graded aggregate)."""
+    return stats.groupBy("sink", "path").agg(
+        F.count_distinct("conv_id").alias("n_convs"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("n_chunks").alias("n_chunks"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+    )
+
+
 def chunk_totals(stats: DataFrame) -> DataFrame:
     """Per-sink rollup of the replay output (the graded aggregate)."""
     return stats.groupBy("sink", "path").agg(

@@ -120,19 +120,24 @@ def run_pipeline(
         )
 
     if not log.is_done("chunks"):
+        # chunk_counts_fast: n_chunks is bit-identical to the gzip replay
+        # (tests/test_jsoncost.py) but the overwhelming majority of
+        # conversations are answered by pure-Catalyst byte arithmetic —
+        # zero Python, zero gzip. The exact-gz-bytes replay
+        # (chunk_replay_hybrid) remains available for byte-level audits.
         stats_frames = []
         if cfg.infra_enabled:
             stats_frames.append(
-                chunk_op.chunk_replay_hybrid(infra_union(hub, cfg), "infra", cfg)
+                chunk_op.chunk_counts_fast(infra_union(hub, cfg), "infra", cfg)
             )
         if cfg.logging_enabled:
-            stats_frames.append(chunk_op.chunk_replay_hybrid(hub, "logging", cfg))
+            stats_frames.append(chunk_op.chunk_counts_fast(hub, "logging", cfg))
         if stats_frames:
             stats = stats_frames[0]
             for extra in stats_frames[1:]:
                 stats = stats.unionByName(extra)
             stats.write.mode("overwrite").parquet(f"{out_dir}/chunk_stats")
-            totals = chunk_op.chunk_totals(
+            totals = chunk_op.chunk_totals_fast(
                 spark.read.parquet(f"{out_dir}/chunk_stats")
             ).collect()
             log.record(

@@ -54,7 +54,12 @@ def _maybe_pin(cpus: int) -> None:
 from pyspark.sql import functions as F
 
 from aws_log_ingestion_spark.config import PipelineConfig
-from aws_log_ingestion_spark.operators.chunks import chunk_replay, chunk_totals
+from aws_log_ingestion_spark.operators.chunks import (
+    chunk_counts_fast,
+    chunk_replay,
+    chunk_totals,
+    chunk_totals_fast,
+)
 from aws_log_ingestion_spark.operators.classify import classify
 from aws_log_ingestion_spark.operators.enrich import enrich
 from aws_log_ingestion_spark.operators.melt import melt_project
@@ -67,6 +72,11 @@ from aws_log_ingestion_spark.sources import derive
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "50"))
 REPEAT = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
 WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+# auto-extend repeats until the two best runs agree within this ratio (the
+# co-tenant-noise guard: a headline resting on ONE lucky run is rejected);
+# hard cap so a hopelessly loaded box still terminates
+AGREE = float(os.environ.get("SPARK_GRAFT_AGREE", "1.2"))
+MAX_REPEAT = int(os.environ.get("SPARK_GRAFT_MAX_REPEAT", "7"))
 
 
 def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
@@ -143,13 +153,25 @@ def main() -> None:
         for i in range(WARMUP):  # discarded: codegen + python-worker spin-up
             warm.append(run_job(spark, in_path, meta, cfg, f"{work}/warm{i}"))
         runs = []
-        for i in range(REPEAT):
+        i = 0
+        while True:
             runs.append(run_job(spark, in_path, meta, cfg, f"{work}/out{i}"))
+            i += 1
+            walls = sorted(r["timings"]["job_total"] for r in runs)
+            converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
+            if (i >= REPEAT and converged) or i >= MAX_REPEAT:
+                break
         best = min(runs, key=lambda r: r["timings"]["job_total"])
         counts = best["counts"]
 
-        # chunk replay: 5% conversation sample (full replay is a separate
-        # batch stage in production; see plans/job.py)
+        # production chunk stage (plans/job.py): FULL-corpus fast counts —
+        # pure-Catalyst raw arithmetic, gzip only in the ambiguous band
+        t0 = time.time()
+        chunk_totals_fast(chunk_counts_fast(best["hub"], "logging", cfg)).collect()
+        chunk_fast_time = time.time() - t0
+
+        # exact-gz-bytes replay on a 5% conversation sample (the byte-audit
+        # path; kept for round-over-round comparability)
         t0 = time.time()
         sample = best["hub"].filter(F.crc32(F.col("conv_id")) % 20 == 0)
         chunk_totals(chunk_replay(sample, "logging", cfg)).collect()
@@ -157,6 +179,7 @@ def main() -> None:
 
         tps = n_turns / best["timings"]["job_total"]
         queries = {k: round(v, 3) for k, v in best["timings"].items()}
+        queries["chunk_fast_full"] = round(chunk_fast_time, 3)
         queries["chunk_replay_5pct"] = round(chunk_time, 3)
         queries["job_total_all_runs"] = [
             round(r["timings"]["job_total"], 1) for r in runs
@@ -178,7 +201,7 @@ def main() -> None:
                     "pinned": os.environ.get("SPARK_GRAFT_PINNED") == "1",
                     "loadavg_start": load_start,
                     "loadavg_end": open("/proc/loadavg").read().split()[:3],
-                    "repeat": REPEAT,
+                    "repeat": len(runs),
                     "sink_counts": {k: int(v) for k, v in counts.items()},
                 }
             )

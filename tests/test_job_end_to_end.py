@@ -69,8 +69,9 @@ def test_chunk_manifest_written(run_dir):
     # logging tee covers every conversation regardless of sink
     names = sorted(datagen.TEMPLATES)
     assert sum(t["n_convs"] for t in totals if t["path"] == "logging") == len(names)
-    # every replayed chunk respects the 1 MB cap at default config
-    assert all(t["max_chunk_bytes"] < 1000 * 1024 for t in totals)
+    # the fast count stage proves counts arithmetically; n_chunks >= convs
+    assert all(t["n_chunks"] >= t["n_convs"] for t in totals)
+    assert all(t["raw_bytes"] > 0 for t in totals)
 
 
 def test_resume_is_idempotent(spark, template_df, template_meta_df, run_dir):
