@@ -830,14 +830,23 @@ def _sql_lang_id() -> str:
         + tri_score(lang) + " AS INT)"
         for lang, ws in LANG_MARKERS.items()
     }
+    from aws_log_ingestion_spark.operators.text_analysis import SCRIPT_CLASSES
+
+    # script classes apply in priority order (ja before zh etc.) —
+    # mirror text_analysis.lang_id's reversed-when nesting as CASE arms
+    script_arms = " ".join(
+        "WHEN len(regexp_extract_all(text, '" + cls + "')) > 0 "
+        f"THEN '{lang}'"
+        for lang, cls in SCRIPT_CLASSES
+    )
     return (
         "WITH w AS (SELECT doc_id, lang, string_split(" + _D_NORM_DOC + ", ' ') AS w, "
         "' ' || " + _D_NORM_DOC + " || ' ' AS t3, text "
-        "FROM documents), c AS (SELECT doc_id, lang, "
+        "FROM documents), c AS (SELECT doc_id, lang, text, "
         + ", ".join(f"({c}) AS c_{lang}" for lang, c in counts.items())
-        + ", len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS n_cjk FROM w) "
+        + " FROM w) "
         "SELECT doc_id, lang AS labeled_lang, c_en, c_de, c_fr, c_es, "
-        "CASE WHEN n_cjk > 0 THEN 'zh' "
+        "CASE " + script_arms + " "
         "WHEN GREATEST(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown' "
         "WHEN c_en = GREATEST(c_en, c_de, c_fr, c_es) THEN 'en' "
         "WHEN c_de = GREATEST(c_en, c_de, c_fr, c_es) THEN 'de' "

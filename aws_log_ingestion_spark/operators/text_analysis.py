@@ -116,12 +116,27 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Script-detecting codepoint classes (same pattern syntax is valid Java
+# regex for Spark and RE2 for the DuckDB oracle). Ordered by priority:
+# kana decides ja BEFORE the han check (Japanese text mixes kanji with
+# kana; Chinese has han but no kana), hangul decides ko, han-only decides
+# zh, Cyrillic decides ru.
+SCRIPT_CLASSES = [
+    ("ja", r"[\x{3040}-\x{30ff}]"),   # hiragana + katakana
+    ("ko", r"[\x{ac00}-\x{d7af}]"),   # hangul syllables
+    ("zh", r"[\x{4e00}-\x{9fff}]"),   # CJK unified ideographs
+    ("ru", r"[\x{0400}-\x{04ff}]"),   # Cyrillic
+]
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Language ID: marker words + rank-weighted char-trigram profiles
-    (Cavnar & Trenkle-style), fixed tie-break order en > de > fr > es >
-    unknown (CJK detected by codepoint class). Marker-word hits dominate
-    (x100) so unambiguous function words decide; the trigram profile
-    scores break ties and cover marker-free text."""
+    """Language ID: codepoint-script classes (ja/ko/zh/ru — kana before
+    han so kanji+kana text reads as Japanese), then marker words +
+    rank-weighted char-trigram profiles (Cavnar & Trenkle-style) for the
+    Latin-script languages, fixed tie-break order en > de > fr > es >
+    unknown. Marker-word hits dominate (x100) so unambiguous function
+    words decide; the trigram profile scores break ties and cover
+    marker-free text."""
     words = _norm_words(F.col("text"))
     tri = trigram_scores(F.col("text"))
     counts = {
@@ -130,16 +145,17 @@ def lang_id(docs: DataFrame) -> DataFrame:
         ).cast("int")
         for lang, markers in LANG_MARKERS.items()
     }
-    n_cjk = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
     best = F.greatest(*counts.values())
     pred = (
-        F.when(n_cjk > 0, "zh")
-        .when(best == 0, "unknown")
+        F.when(best == 0, "unknown")
         .when(counts["en"] == best, "en")
         .when(counts["de"] == best, "de")
         .when(counts["fr"] == best, "fr")
         .otherwise("es")
     )
+    for lang, cls in reversed(SCRIPT_CLASSES):
+        n_hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(cls), 0))
+        pred = F.when(n_hits > 0, lang).otherwise(pred)
     out = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -94,3 +94,102 @@ def stateful_request_fill(stream_df: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Combined MELT carry: trace id + request id across micro-batches.
+# Batch semantics live in operators/melt.py (window forward-fill); this is
+# the streaming equivalent for when ONE conversation spans micro-batches.
+
+MELT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("trace_id", StringType()),
+        StructField("lambda_request_id", StringType()),
+    ]
+)
+
+MELT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_trace_raw", StringType()),
+        StructField("last_request_id", StringType()),
+        StructField("last_turn_idx", LongType()),
+    ]
+)
+
+
+def _melt_fill_func(key, pdfs, state):
+    """Per-conversation carry of (trace raw, request id) in turn order.
+
+    Trace semantics mirror the batch MELT fill (operators/melt.py:62-70,
+    reference /root/reference/src/function.py:519-532): every NR-marker
+    line RESETS the carry to its decode result — '' on a failed decode —
+    and the emitted ``trace_id`` is NULL while the carry is ''/unset.
+    Request ids carry independently (reference :538-545). Late rows
+    (turn_idx <= stored last_turn_idx) are emitted with the current carry
+    and do not rewind state, matching ``_fill_func``'s policy.
+    """
+    import re
+
+    import pandas as pd
+
+    from ..functions.tracing import decode_trace_id_str
+
+    # LAMBDA_NR_MONITORING_PATTERN.match (reference src/function.py:90):
+    # re.match semantics — anchored at 0, `.` does not cross newlines.
+    nr_re = re.compile(r'.*"NR_LAMBDA_MONITORING')
+    rid_re = re.compile(
+        r"RequestId:\s([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})"
+    )
+    trace_raw, rid_carry, last_turn = (
+        state.get if state.exists else (None, None, -1)
+    )
+
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        trace_fills, rid_fills = [], []
+        for text, turn in zip(pdf["text"], pdf["turn_idx"]):
+            text = text or ""
+            fresh = turn > last_turn
+            if fresh and nr_re.match(text):
+                trace_raw = decode_trace_id_str(text)  # '' clears the carry
+            m = rid_re.search(text)
+            if fresh and m:
+                rid_carry = m.group(1)
+            if fresh:
+                last_turn = int(turn)
+            trace_fills.append(trace_raw if trace_raw else None)
+            rid_fills.append(rid_carry)
+        yield pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+                "trace_id": trace_fills,
+                "lambda_request_id": rid_fills,
+            }
+        )
+
+    state.update((trace_raw, rid_carry, int(last_turn)))
+
+
+def stateful_melt_fill(stream_df: DataFrame) -> DataFrame:
+    """Streaming MELT id-carry: (conv_id, turn_idx, text) stream -> rows
+    with ``trace_id`` and ``lambda_request_id`` filled with cross-batch
+    state, so a conversation whose NR marker lands in one micro-batch and
+    whose later turns land in the next still gets the reference's
+    forward-fill semantics."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream_df.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _melt_fill_func,
+            MELT_OUTPUT_SCHEMA,
+            MELT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -72,6 +72,74 @@ def test_request_id_carries_across_micro_batches(spark, tmp_path):
     assert got[("cy", 0)] is None  # fresh conversation starts empty
 
 
+def test_trace_id_carries_and_clears_across_micro_batches(spark, tmp_path):
+    """MELT trace semantics across the micro-batch boundary: a decodable
+    NR marker in batch 1 must still fill turns arriving in batch 2, and an
+    UNDECODABLE marker in batch 2 must clear the carry (''-clears, ref
+    src/function.py:519-532). Request ids carry independently."""
+    from aws_log_ingestion_spark.sources.derive import (
+        DECODABLE_NR_MARKER,
+        DECODABLE_NR_TRACE_ID,
+    )
+    from aws_log_ingestion_spark.streaming.stateful import stateful_melt_fill
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "min"),
+        str(tmp_path / "mout"),
+        str(tmp_path / "mckpt"),
+    )
+
+    def run_once():
+        schema = datagen.to_spark_df(spark, []).schema
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stateful_melt_fill(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: decodable marker sets the trace carry; request id set after
+    batch1 = [
+        {"conv_id": "ct", "turn_idx": 0, "role": "agent", "tool": "lambda",
+         "text": DECODABLE_NR_MARKER, "ts_millis": datagen.BASE_TS_MILLIS},
+        {"conv_id": "ct", "turn_idx": 1, "role": "user", "tool": "lambda",
+         "text": f"START RequestId: {datagen.UUID_A} Version: $LATEST",
+         "ts_millis": datagen.BASE_TS_MILLIS + 1},
+    ]
+    _write_batch(spark, in_dir, batch1, "b1")
+    run_once()
+
+    # batch 2: plain turn (trace must still be filled from batch 1), then
+    # an undecodable marker clears it; later turn sees NULL trace but
+    # keeps the request id
+    batch2 = [
+        {"conv_id": "ct", "turn_idx": 2, "role": "user", "tool": "lambda",
+         "text": "no ids here", "ts_millis": datagen.BASE_TS_MILLIS + 2},
+        {"conv_id": "ct", "turn_idx": 3, "role": "agent", "tool": "lambda",
+         "text": datagen.NR_SHORT, "ts_millis": datagen.BASE_TS_MILLIS + 3},
+        {"conv_id": "ct", "turn_idx": 4, "role": "user", "tool": "lambda",
+         "text": "after the clear", "ts_millis": datagen.BASE_TS_MILLIS + 4},
+    ]
+    _write_batch(spark, in_dir, batch2, "b2")
+    run_once()
+
+    got = {
+        r["turn_idx"]: (r["trace_id"], r["lambda_request_id"])
+        for r in spark.read.parquet(out_dir).where(F.col("conv_id") == "ct").collect()
+    }
+    tid = DECODABLE_NR_TRACE_ID
+    assert got[0] == (tid, None)
+    assert got[1] == (tid, datagen.UUID_A)
+    assert got[2] == (tid, datagen.UUID_A)  # <- trace crossed the boundary
+    assert got[3] == (None, datagen.UUID_A)  # undecodable marker clears
+    assert got[4] == (None, datagen.UUID_A)
+
+
 def test_windowed_turn_rate_stream_equals_batch(spark, template_df, tmp_path):
     """Watermarked event-time windowed agg: the streaming (availableNow)
     result equals the same plan run in batch mode — windows, counts and

@@ -249,6 +249,25 @@ def test_lang_id_trigram_fallback_without_markers(spark):
     assert all(not (set(t.split()) & markers) for _, t, _ in rows)
 
 
+def test_lang_id_script_classes(spark):
+    """Codepoint-script detection: kana beats han (kanji+kana text is
+    Japanese, not Chinese), hangul -> ko, Cyrillic -> ru, han-only -> zh;
+    script hits override Latin marker words present in the same text."""
+    rows = [
+        (0, "日本語のテキストです", "ja"),       # kanji + kana -> ja, not zh
+        (1, "これは ひらがな だけ", "ja"),        # hiragana only
+        (2, "한국어 문서 예시입니다", "ko"),
+        (3, "русский текст для теста", "ru"),
+        (4, "中文文档没有假名", "zh"),            # han only -> zh
+        (5, "the это смешанный text", "ru"),   # Cyrillic beats en markers
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text_analysis.lang_id(df).collect()}
+    assert got == {0: "ja", 1: "ja", 2: "ko", 3: "ru", 4: "zh", 5: "ru"}
+
+
 def test_curate_verdicts_on_planted_docs(docs):
     got = {r["doc_id"]: r for r in text_analysis.curate(docs, min_quality=60).collect()}
     # exact dups of doc 0: the min-id representative is kept, others dropped
