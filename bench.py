@@ -96,11 +96,47 @@ def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
     t.repartition(64).write.mode("overwrite").parquet(path)
 
 
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (utime+stime+reaped-children time) consumed so
+    far by THIS process tree — driver python, JVM, pyspark daemon and
+    workers — via one /proc scan. Deltas of this number are co-tenant-
+    IMMUNE: only our own descendants are counted, so a CPU-based scaling
+    efficiency does not depend on catching the shared box idle (wall
+    times here vary 2-5x with neighbor load; CPU seconds do not)."""
+    import glob
+
+    procs: dict[int, tuple[int, int]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                s = f.read()
+        except OSError:
+            continue  # process exited mid-scan
+        pid = int(s.split(" ", 1)[0])
+        rest = s[s.rindex(")") + 2 :].split(" ")
+        ppid = int(rest[1])
+        # utime+stime (this proc's threads) + cutime+cstime (reaped
+        # children — a worker that died mid-run still counts exactly once)
+        ticks = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+        procs[pid] = (ppid, ticks)
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(children.get(p, []))
+    return total / os.sysconf("SC_CLK_TCK")
+
+
 def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     """One full pipeline run (hub -> infra partitioned write -> logging
     write -> route counts); returns stage timings + counts."""
     timings: dict[str, float] = {}
     t = spark.read.parquet(in_path)
+    cpu0 = _tree_cpu_seconds()
 
     t0 = time.time()
     enrich(classify(t, cfg, fill_request_ids=False), meta).write.mode(
@@ -120,6 +156,8 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
         f"{out}/logging"
     )
     timings["logging_write"] = time.time() - t0
+    # CPU scope matches job_total (the three writes, not route_counts)
+    timings["job_cpu"] = _tree_cpu_seconds() - cpu0
 
     t0 = time.time()
     counts = route_counts(hub, cfg).collect()[0].asDict()
@@ -184,6 +222,14 @@ def main() -> None:
         queries["job_total_all_runs"] = [
             round(r["timings"]["job_total"], 1) for r in runs
         ]
+        # min CPU across runs: contention only ADDS cpu (GC pressure,
+        # spinning), so min is the engine's intrinsic cost for this width
+        queries["job_cpu_all_runs"] = [
+            round(r["timings"]["job_cpu"], 1) for r in runs
+        ]
+        queries["turns_per_cpu_sec"] = round(
+            n_turns / min(r["timings"]["job_cpu"] for r in runs), 1
+        )
         queries["warmup_runs_discarded"] = [
             round(r["timings"]["job_total"], 1) for r in warm
         ]

