@@ -337,6 +337,34 @@ def q_stratified_sample(spark, sf_dir):
     return text_analysis.stratified_sample(_docs(spark, sf_dir), rate_x1000=200)
 
 
+def q_redact_pii(spark, sf_dir):
+    # the synthetic corpus contains no PII-shaped strings, so the query
+    # plants deterministic PII into every 5th document (mirrored in the
+    # oracle SQL) — otherwise the gate would only verify the no-op branch
+    docs = _docs(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 req 12345678-1234-1234-1234-123456789abc tel +1 415-555-0"),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    return text_analysis.redact_pii(docs.withColumn("text", aug))
+
+
+def q_pack_sequences(spark, sf_dir):
+    return text_analysis.pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def q_decontaminate(spark, sf_dir):
+    return text_analysis.decontaminate(_docs(spark, sf_dir), min_shared=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -399,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "shard_assign": q_shard_assign,
         "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -961,6 +992,63 @@ def _sql_stratified_sample(rate_x1000: int = 200) -> str:
     )
 
 
+def _sql_redact_pii() -> str:
+    # same pattern table as the Spark side (dual-dialect regexes); DuckDB
+    # needs the explicit 'g' flag where Spark regexp_replace is global
+    from aws_log_ingestion_spark.operators.text_analysis import PII_PATTERNS
+
+    red = "text"
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    # same deterministic PII planting as q_redact_pii (every 5th doc)
+    aug = (
+        "CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || "
+        "CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 req 12345678-1234-1234-1234-123456789abc tel +1 415-555-0' || "
+        "CAST(doc_id % 100 AS VARCHAR) ELSE text END"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, " + aug + " AS text FROM documents) "
+        "SELECT doc_id, " + ", ".join(counts) + ", " + red + " AS redacted "
+        "FROM d"
+    )
+
+
+def _sql_pack_sequences(budget: int = 512, n_shards: int = 16) -> str:
+    md5l = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    return (
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(string_split(" + _D_NORM_DOC + ", ' ')) AS INT) AS n_ws_tokens, "
+        f"CAST({md5l} % {n_shards} AS INT) AS shard FROM documents), "
+        "c AS (SELECT doc_id, shard, n_ws_tokens, "
+        "CAST(COALESCE(SUM(n_ws_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before "
+        "FROM t) "
+        "SELECT doc_id, shard, n_ws_tokens, cum_before, "
+        f"CAST(cum_before // {budget} AS BIGINT) AS bin_idx FROM c"
+    )
+
+
+def _sql_decontaminate(min_shared: int = 2, bench_mod: int = 50) -> str:
+    return (
+        "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
+        f"bench AS (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} = 0), "
+        "block AS (SELECT DISTINCT shingle FROM sh JOIN bench ON sh.doc_id = bench.doc_id), "
+        f"train AS (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0), "
+        "shared AS (SELECT sh.doc_id, COUNT(*) AS n_shared FROM sh "
+        "JOIN block ON sh.shingle = block.shingle "
+        "JOIN train ON sh.doc_id = train.doc_id GROUP BY sh.doc_id) "
+        "SELECT train.doc_id, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_shingles, "
+        f"CAST(COALESCE(n_shared, 0) >= {min_shared} AS INT) AS contaminated "
+        "FROM train LEFT JOIN shared ON train.doc_id = shared.doc_id"
+    )
+
+
 def _sql_multimodal_features() -> str:
     """Exact oracle for the fake byte-mean features: DuckDB reads payload
     bytes via hex() + strpos (no blob indexing), reproduces the
@@ -1058,6 +1146,9 @@ def oracle_sql() -> dict[str, str]:
         "curate": _sql_curate(),
         "shard_assign": _sql_shard_assign(),
         "stratified_sample": _sql_stratified_sample(),
+        "redact_pii": _sql_redact_pii(),
+        "pack_sequences": _sql_pack_sequences(),
+        "decontaminate": _sql_decontaminate(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

@@ -271,6 +271,119 @@ def curate(
     )
 
 
+# PII patterns — simultaneously valid Java regex (Spark) and RE2 (DuckDB
+# oracle): character classes + bounded quantifiers only, no lookaround or
+# backreferences. Replacement order matters (emails contain digits a
+# phone pattern could partially eat) and is pinned: email -> uuid ->
+# ipv4 -> phone, identical in both engines.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "uuid",
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<UUID>",
+    ),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: emails, UUIDs, IPv4s and
+    phone-like digit runs replaced with typed placeholder tokens, plus
+    per-category match counts (measured on the ORIGINAL text, so counts
+    are independent of replacement order). Pure per-row Catalyst — zero
+    shuffle, whole-stage codegen; the patterns are dual-dialect so the
+    driver oracle replays the exact same rewrite in DuckDB."""
+    red = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
+        )
+        red = F.regexp_replace(red, pat, token)
+    return docs.select("doc_id", *counts, red.alias("redacted"))
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 512, n_shards: int = 16
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a training
+    bin of ~``budget`` whitespace tokens, contiguously within its hash
+    shard (bin = floor(tokens-before-me / budget) over the shard's
+    doc_id order). This is the distributed formulation of greedy context
+    packing: bins are deterministic, contiguous, and computable with ONE
+    shuffle (the shard key) + one window — no sequential driver loop, so
+    it holds at 10^12 documents. Downstream splicing concatenates each
+    (shard, bin) group and truncates at the boundary token.
+    """
+    from pyspark.sql import Window as W
+
+    from .dedup import md5_long
+
+    toks = token_counts(docs).select("doc_id", "n_ws_tokens")
+    assigned = toks.withColumn(
+        "shard", (md5_long(F.col("doc_id").cast("string")) % n_shards).cast("int")
+    )
+    cum_before = (
+        F.sum("n_ws_tokens").over(
+            W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+                W.unboundedPreceding, -1
+            )
+        )
+    )
+    return assigned.select(
+        "doc_id",
+        "shard",
+        "n_ws_tokens",
+        F.coalesce(cum_before, F.lit(0)).cast("long").alias("cum_before"),
+        F.floor(F.coalesce(cum_before, F.lit(0)) / budget).cast("long").alias("bin_idx"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, bench: DataFrame | None = None, min_shared: int = 2
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_shared`` word 3-shingles with an evaluation set — the standard
+    n-gram-overlap contamination check run before training. ``bench``
+    defaults to the doc_id % 50 == 0 slice (a deterministic stand-in for
+    an external eval table). The blocklist (distinct benchmark shingles)
+    is small relative to the corpus, so it is BROADCAST — at 100 TB the
+    corpus-side shingle scan never shuffles; only the tiny per-doc
+    overlap counts aggregate.
+    """
+    from .dedup import word_shingles
+
+    if bench is None:
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.join(
+        bench.select(F.col("doc_id").alias("__bid")),
+        F.col("doc_id") == F.col("__bid"),
+        "left_anti",
+    )
+    block = word_shingles(bench).select("shingle").distinct()
+    sh = word_shingles(train)
+    shared = (
+        sh.join(F.broadcast(block), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared_shingles"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
 def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     """Deterministic training-shard assignment + per-shard token budget.
 

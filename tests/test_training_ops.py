@@ -309,3 +309,81 @@ def test_stratified_sample_rate_and_stability(spark):
     # hash-based: rerun identical
     again = text_analysis.stratified_sample(df, rate_x1000=200).collect()
     assert {r["doc_id"]: r["sampled"] for r in got} == {r["doc_id"]: r["sampled"] for r in again}
+
+
+def test_redact_pii_known_answers(spark):
+    rows = [
+        (0, "mail me at a.b@x.co or admin@example.org for details", "en"),
+        (1, "server 10.0.0.1 failed, RequestId: 12345678-1234-1234-1234-123456789abc", "en"),
+        (2, "call +1 415-555-0199 tomorrow", "en"),
+        (3, "nothing sensitive here at all", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    got = {r["doc_id"]: r for r in text_analysis.redact_pii(df).collect()}
+    assert got[0]["n_email"] == 2
+    assert got[0]["redacted"] == "mail me at <EMAIL> or <EMAIL> for details"
+    assert got[1]["n_ipv4"] == 1 and got[1]["n_uuid"] == 1
+    assert got[1]["redacted"] == "server <IP> failed, RequestId: <UUID>"
+    assert got[2]["n_phone"] == 1
+    assert got[2]["redacted"] == "call <PHONE> tomorrow"
+    assert got[3]["redacted"] == rows[3][1]
+    assert all(
+        got[3][f"n_{n}"] == 0 for n in ("email", "uuid", "ipv4", "phone")
+    )
+
+
+def test_pack_sequences_prefix_sums_and_bins(spark):
+    """Bins are floor(prefix-sum-before / budget) within each hash shard
+    ordered by doc_id — verified against an independent python replay of
+    the md5 shard hash and the running sums."""
+    import hashlib
+
+    rows = [(i, " ".join(["w"] * (i % 7 + 1)), "en") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    budget = 10
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.pack_sequences(df, budget=budget, n_shards=4).collect()
+    }
+
+    def shard_of(did: int) -> int:
+        return int(hashlib.md5(str(did).encode()).hexdigest()[:15], 16) % 4
+
+    by_shard: dict[int, list[int]] = {}
+    for did, _, _ in rows:
+        by_shard.setdefault(shard_of(did), []).append(did)
+    for shard, dids in by_shard.items():
+        cum = 0
+        for did in sorted(dids):
+            r = got[did]
+            assert r["shard"] == shard
+            assert r["n_ws_tokens"] == did % 7 + 1
+            assert r["cum_before"] == cum
+            assert r["bin_idx"] == cum // budget
+            cum += did % 7 + 1
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """doc_id 0 and 50 form the benchmark slice; a training doc lifting a
+    phrase from doc 0 is contaminated, an unrelated one is not, and
+    benchmark docs themselves are excluded from the output."""
+    rows = [
+        (0, "the secret benchmark question about unusual marsupial biology", "en"),
+        (50, "another held out evaluation prompt concerning tidal physics", "en"),
+        (1, "training text quoting the secret benchmark question verbatim", "en"),
+        (2, "totally unrelated sentence with no overlap whatsoever present", "en"),
+        (3, "a phrase evaluation prompt concerning tidal lifted from the eval set", "en"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"]).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
+    got = {r["doc_id"]: r for r in text_analysis.decontaminate(df, min_shared=2).collect()}
+    assert set(got) == {1, 2, 3}  # benchmark rows 0 and 50 excluded
+    assert got[1]["contaminated"] == 1 and got[1]["n_shared_shingles"] >= 2
+    # doc 3 lifts "evaluation prompt concerning tidal" = exactly 2 shingles
+    assert got[3]["contaminated"] == 1 and got[3]["n_shared_shingles"] == 2
+    assert got[2]["contaminated"] == 0 and got[2]["n_shared_shingles"] == 0
