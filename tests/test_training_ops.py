@@ -387,3 +387,34 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     # doc 3 lifts "evaluation prompt concerning tidal" = exactly 2 shingles
     assert got[3]["contaminated"] == 1 and got[3]["n_shared_shingles"] == 2
     assert got[2]["contaminated"] == 0 and got[2]["n_shared_shingles"] == 0
+
+
+def _plan_of(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_decontaminate_plan_broadcasts_blocklist(spark):
+    """The blocklist join must be a BroadcastHashJoin — the corpus-side
+    shingle stream must never shuffle on the shingle key at 100 TB."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan_of(text_analysis.decontaminate(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_plan_single_exchange(spark):
+    """Packing is ONE hash exchange on the shard key + one window — no
+    extra shuffle may creep in (the property that holds at 10^12 docs)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan_of(text_analysis.pack_sequences(docs))
+    import re as _re
+
+    # formatted explain lists each operator once as a "(n) Exchange" header
+    n_exchanges = len(_re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
