@@ -365,6 +365,20 @@ def q_decontaminate(spark, sf_dir):
     return text_analysis.decontaminate(_docs(spark, sf_dir), min_shared=2)
 
 
+def q_sessionize(spark, sf_dir):
+    from aws_log_ingestion_spark.operators.sessions import sessionize
+
+    # 1-day gap: the synthetic transcripts span weeks per conversation,
+    # so this yields a real mix of session breaks and continuations
+    return sessionize(_transcripts(spark, sf_dir), gap_ms=86_400_000)
+
+
+def q_conversation_stats(spark, sf_dir):
+    from aws_log_ingestion_spark.operators.sessions import conversation_stats
+
+    return conversation_stats(_transcripts(spark, sf_dir))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -430,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "sessionize": q_sessionize,
+        "conversation_stats": q_conversation_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1034,6 +1050,36 @@ def _sql_pack_sequences(budget: int = 512, n_shards: int = 16) -> str:
     )
 
 
+def _sql_sessionize(gap_ms: int = 86_400_000) -> str:
+    lag = "lag(epoch_ms(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)"
+    return (
+        "WITH t AS " + _DUCK_T + ", "
+        "b AS (SELECT conv_id, turn_idx, epoch_ms(ts) AS ts_ms, "
+        f"CASE WHEN {lag} IS NULL OR epoch_ms(ts) - {lag} > {gap_ms} "
+        "THEN 1 ELSE 0 END AS session_start FROM t) "
+        "SELECT conv_id, turn_idx, ts_ms, session_start, "
+        "CAST(SUM(session_start) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_idx "
+        "FROM b"
+    )
+
+
+def _sql_conversation_stats() -> str:
+    return (
+        "WITH t AS " + _DUCK_T + " "
+        "SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, "
+        "CAST(COUNT(DISTINCT role) AS BIGINT) AS n_roles, "
+        "CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools, "
+        "CAST(MIN(epoch_ms(ts)) AS BIGINT) AS first_ts_ms, "
+        "CAST(MAX(epoch_ms(ts)) AS BIGINT) AS last_ts_ms, "
+        "CAST(MAX(epoch_ms(ts)) - MIN(epoch_ms(ts)) AS BIGINT) AS span_ms, "
+        "CAST(SUM(CAST(" + _D_REPORT + " AS INT)) AS BIGINT) AS n_report, "
+        "CAST(SUM(CAST(" + _D_NR + " AS INT)) AS BIGINT) AS n_nr_marker, "
+        "CAST(SUM(CASE WHEN strpos(text, 'RequestId:') > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_request_id_lines FROM t GROUP BY conv_id"
+    )
+
+
 def _sql_decontaminate(min_shared: int = 2, bench_mod: int = 50) -> str:
     return (
         "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
@@ -1149,6 +1195,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _sql_redact_pii(),
         "pack_sequences": _sql_pack_sequences(),
         "decontaminate": _sql_decontaminate(),
+        "sessionize": _sql_sessionize(),
+        "conversation_stats": _sql_conversation_stats(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

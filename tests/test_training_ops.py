@@ -418,3 +418,50 @@ def test_pack_sequences_plan_single_exchange(spark):
     # formatted explain lists each operator once as a "(n) Exchange" header
     n_exchanges = len(_re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    from aws_log_ingestion_spark.operators.sessions import sessionize
+
+    rows = [
+        # conv a: turns at t=0s, 10s, 400s (gap>300s -> new session), 410s
+        ("a", 0, "u", "x", "m0", 0),
+        ("a", 1, "u", "x", "m1", 10_000),
+        ("a", 2, "u", "x", "m2", 400_000),
+        ("a", 3, "u", "x", "m3", 410_000),
+        # conv b: single turn
+        ("b", 0, "u", "x", "m0", 5_000),
+    ]
+    df = spark.createDataFrame(
+        rows, ["conv_id", "turn_idx", "role", "tool", "text", "ts_ms"]
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).drop("ts_ms")
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["session_idx"], r["session_start"])
+        for r in sessionize(df, gap_ms=300_000).collect()
+    }
+    assert got[("a", 0)] == (0, 1)
+    assert got[("a", 1)] == (0, 0)
+    assert got[("a", 2)] == (1, 1)  # 390s gap > 300s -> new session
+    assert got[("a", 3)] == (1, 0)
+    assert got[("b", 0)] == (0, 1)
+
+
+def test_conversation_stats_flags_and_span(spark):
+    from aws_log_ingestion_spark.operators.sessions import conversation_stats
+    from aws_log_ingestion_spark.sources import datagen
+
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "tool": "lambda",
+         "text": datagen.REPORT, "ts_millis": 1_000},
+        {"conv_id": "c1", "turn_idx": 1, "role": "agent", "tool": "vpc",
+         "text": datagen.NR_SHORT, "ts_millis": 61_000},
+        {"conv_id": "c1", "turn_idx": 2, "role": "agent", "tool": "lambda",
+         "text": "plain line", "ts_millis": 121_000},
+    ]
+    df = datagen.to_spark_df(spark, rows)
+    got = conversation_stats(df).collect()[0]
+    assert got["n_turns"] == 3 and got["n_roles"] == 2 and got["n_tools"] == 2
+    assert got["span_ms"] == 120_000
+    # REPORT line contains "RequestId:" too -> counted in both tallies
+    assert got["n_report"] == 1 and got["n_nr_marker"] == 1
+    assert got["n_request_id_lines"] == 1
