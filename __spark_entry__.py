@@ -379,6 +379,45 @@ def q_conversation_stats(spark, sf_dir):
     return conversation_stats(_transcripts(spark, sf_dir))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over the union of exact-dup pairs and
+    ngram-Jaccard near-dup pairs: the cluster resolution step that turns
+    pairwise dedup verdicts into one canonical doc per duplicate group.
+    Spark runs alternating large-star/small-star; the oracle replays
+    reachability with a DuckDB recursive CTE — same fixpoint, different
+    algorithm, so the match verifies SEMANTICS, not just determinism."""
+    from aws_log_ingestion_spark.operators.graph import dup_clusters
+
+    docs = _docs(spark, sf_dir)
+    jacc = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2, df_cap=100).select(
+        "id_a", "id_b"
+    )
+    exact = (
+        dedup.exact_dedup(docs)
+        .filter(F.col("is_duplicate") == 1)
+        .select(F.col("keep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dup_clusters(docs, jacc.unionByName(exact))
+
+
+def q_repetition_stats(spark, sf_dir):
+    # the corpus has few degenerate docs, so plant deterministic
+    # repetition into every 7th document (mirrored in the oracle SQL) —
+    # the repetitive branch must be exercised, not just the clean one
+    docs = _docs(spark, sf_dir)
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat_ws(
+            " ", *([F.col("text")] + [F.lit("spam ham")] * 6)
+        ),
+    ).otherwise(F.col("text"))
+    return text_analysis.repetition_stats(docs.withColumn("text", aug))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    return text_analysis.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -446,6 +485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "sessionize": q_sessionize,
         "conversation_stats": q_conversation_stats,
+        "dup_clusters": q_dup_clusters,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_topk": q_tfidf_topk,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1095,6 +1137,85 @@ def _sql_decontaminate(min_shared: int = 2, bench_mod: int = 50) -> str:
     )
 
 
+def _sql_dup_clusters() -> str:
+    """Cluster oracle via a DuckDB RECURSIVE CTE: seed every node with its
+    own id, propagate labels along edges while they shrink (label < node
+    blocks nothing on the true minimum), take MIN per node. Reachability
+    fixpoint == connected components, computed by a DIFFERENT algorithm
+    than Spark's large-star/small-star — a semantic cross-check, not a
+    replay. Pairs = the same union of the already-verified exact-dup and
+    ngram-Jaccard subqueries the Spark query feeds to dup_clusters."""
+    return (
+        "WITH RECURSIVE "
+        "jp AS (SELECT id_a, id_b FROM (" + _sql_dedup_ngram_jaccard() + ") x), "
+        "ep AS (SELECT keep_id AS id_a, doc_id AS id_b FROM ("
+        + _sql_dedup_exact() + ") x WHERE is_duplicate = 1), "
+        "pairs AS (SELECT id_a, id_b FROM jp UNION SELECT id_a, id_b FROM ep), "
+        "e AS (SELECT id_a AS u, id_b AS v FROM pairs "
+        "UNION SELECT id_b AS u, id_a AS v FROM pairs), "
+        "cc AS (SELECT doc_id AS node, doc_id AS label FROM documents "
+        "UNION SELECT e.v AS node, cc.label FROM cc JOIN e ON e.u = cc.node "
+        "WHERE cc.label < e.v), "
+        "lab AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM cc GROUP BY node), "
+        "sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id) "
+        "SELECT lab.doc_id, lab.cluster_id, CAST(sz.cluster_size AS BIGINT) AS cluster_size, "
+        "CAST(lab.doc_id = lab.cluster_id AS INT) AS is_canonical "
+        "FROM lab JOIN sz ON lab.cluster_id = sz.cluster_id"
+    )
+
+
+def _sql_repetition_stats() -> str:
+    # same deterministic repetition planting as q_repetition_stats
+    spam = ", ".join(["'spam ham'"] * 6)
+    return (
+        "WITH d0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+        f"THEN concat_ws(' ', text, {spam}) ELSE text END AS text FROM documents), "
+        "n AS (SELECT doc_id, string_split(" + _D_NORM_DOC + ", ' ') AS w, "
+        "length(" + _D_NORM_DOC + ") AS n_chars_norm FROM d0), "
+        "base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words, "
+        "CAST(len(list_distinct(w)) AS INT) AS n_distinct_words, "
+        "CAST(n_chars_norm AS INT) AS n_chars_norm, w FROM n), "
+        "g AS (SELECT doc_id, array_to_string(w[CAST(i AS INT):CAST(i+1 AS INT)], ' ') AS gram "
+        "FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base WHERE len(w) >= 2) x), "
+        "top AS (SELECT doc_id, gram, cnt FROM ("
+        "SELECT doc_id, gram, COUNT(*) AS cnt, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram) AS rn "
+        "FROM g GROUP BY doc_id, gram) y WHERE rn = 1), "
+        "f AS (SELECT base.doc_id, n_words, n_distinct_words, n_chars_norm, "
+        "top.gram, top.cnt, "
+        "CAST(CASE WHEN n_words > 0 THEN FLOOR((n_words - n_distinct_words) * 1000 / n_words) "
+        "ELSE 0 END AS BIGINT) AS dup_word_frac_x1000, "
+        "CAST(CASE WHEN top.cnt IS NOT NULL AND n_chars_norm > 0 "
+        "THEN FLOOR(top.cnt * length(top.gram) * 1000 / n_chars_norm) ELSE 0 END AS BIGINT) "
+        "AS top_2gram_char_frac_x1000 "
+        "FROM base LEFT JOIN top ON base.doc_id = top.doc_id) "
+        "SELECT doc_id, n_words, n_distinct_words, COALESCE(gram, '') AS top_2gram, "
+        "CAST(COALESCE(cnt, 0) AS BIGINT) AS top_2gram_count, dup_word_frac_x1000, "
+        "top_2gram_char_frac_x1000, "
+        "CAST(dup_word_frac_x1000 > 300 OR top_2gram_char_frac_x1000 > 200 AS INT) "
+        "AS is_repetitive FROM f"
+    )
+
+
+def _sql_tfidf_topk(k: int = 5) -> str:
+    from aws_log_ingestion_spark.operators.text_analysis import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        "WITH d AS (SELECT doc_id, " + _D_NORM_DOC + " AS t FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d), "
+        f"f AS (SELECT doc_id, term FROM w WHERE term <> '' AND term NOT IN ({stop})), "
+        "tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM f GROUP BY 1, 2), "
+        "dft AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term), "
+        "r AS (SELECT tf.doc_id, tf.term, tf.tf, dft.doc_freq, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf DESC, dft.doc_freq, tf.term) AS INT) AS rank "
+        "FROM tf JOIN dft ON tf.term = dft.term) "
+        "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, "
+        f"CAST(doc_freq AS BIGINT) AS doc_freq, rank FROM r WHERE rank <= {k}"
+    )
+
+
 def _sql_multimodal_features() -> str:
     """Exact oracle for the fake byte-mean features: DuckDB reads payload
     bytes via hex() + strpos (no blob indexing), reproduces the
@@ -1197,6 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _sql_decontaminate(),
         "sessionize": _sql_sessionize(),
         "conversation_stats": _sql_conversation_stats(),
+        "dup_clusters": _sql_dup_clusters(),
+        "repetition_stats": _sql_repetition_stats(),
+        "tfidf_topk": _sql_tfidf_topk(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

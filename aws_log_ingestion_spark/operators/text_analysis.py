@@ -411,6 +411,120 @@ def shard_assign(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): the
+    standard web-corpus quality signals that catch boilerplate and
+    degenerate generations.
+
+    Per document: distinct-word ratio, duplicate-word fraction, and the
+    character fraction covered by the MOST FREQUENT word 2-gram (count x
+    gram length / normalized text length; overlapping occurrences mean
+    the ratio can exceed 1 on degenerate text — it is a filter signal,
+    not a partition of the text). ``is_repetitive`` applies the
+    Gopher-shaped thresholds (dup-word > 0.30 or top-2-gram chars > 0.20).
+
+    Scale shape: word stats are per-row Catalyst (array_distinct — no
+    shuffle); the top-2-gram needs one explode + groupBy(doc_id, gram) +
+    one window on doc_id — shuffle keys contain doc_id, so hot grams
+    never concentrate on one task. All values integer (x1000) for exact
+    cross-engine hashing.
+    """
+    from pyspark.sql import Window as W
+
+    words = _norm_words(F.col("text"))
+    norm_len = F.length(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        norm_len.alias("n_chars_norm"),
+        words.alias("__w"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("n_words") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_words") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("gram"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_2gram"), F.col("cnt").alias("top_2gram_count"))
+    )
+    j = base.drop("__w").join(top, "doc_id", "left")
+    dup_frac = F.when(
+        F.col("n_words") > 0,
+        F.floor((F.col("n_words") - F.col("n_distinct_words")) * 1000 / F.col("n_words")),
+    ).otherwise(0).cast("long")
+    top_frac = F.when(
+        F.col("top_2gram_count").isNotNull() & (F.col("n_chars_norm") > 0),
+        F.floor(
+            F.col("top_2gram_count") * F.length("top_2gram") * 1000 / F.col("n_chars_norm")
+        ),
+    ).otherwise(0).cast("long")
+    return j.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.coalesce("top_2gram", F.lit("")).alias("top_2gram"),
+        F.coalesce("top_2gram_count", F.lit(0)).cast("long").alias("top_2gram_count"),
+        dup_frac.alias("dup_word_frac_x1000"),
+        top_frac.alias("top_2gram_char_frac_x1000"),
+        ((dup_frac > 300) | (top_frac > 200)).cast("int").alias("is_repetitive"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k salient terms per document — tf-idf with an EXACT ordering:
+    rank by (tf DESC, document-frequency ASC, term ASC) after stopword
+    removal. Lexicographic (tf, -df) ranking is order-equivalent to
+    tf-idf with any strictly-decreasing idf within a fixed tf, and being
+    integer-only it hashes identically across engines (a float idf would
+    make the oracle comparison depend on ln() rounding).
+
+    Scale shape: tf aggregates on (doc_id, term) — skew-free; df
+    aggregates the tf table on term (vocabulary-sized output); the join
+    back to per-doc terms is keyed on term, and AQE broadcast-converts it
+    when the vocabulary fits (typical after stopword removal at any SF);
+    the final top-k is one window on doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    words = _norm_words(F.col("text"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(words, lambda x: (x != "") & ~x.isin(*STOPWORDS))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ranked = tf.join(df_t, "term").withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("doc_freq"), F.col("term")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "doc_id", "term", "tf", "doc_freq", F.col("rank").cast("int").alias("rank")
+    )
+
+
 def stratified_sample(docs: DataFrame, rate_x1000: int = 200, strata_col: str = "lang") -> DataFrame:
     """Deterministic per-stratum sampling: keep a document iff its md5
     hash bucket (mod 1000) falls under the stratum's rate. Hash-based
