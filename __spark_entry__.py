@@ -418,6 +418,14 @@ def q_tfidf_topk(spark, sf_dir):
     return text_analysis.tfidf_topk(_docs(spark, sf_dir), k=5)
 
 
+def q_corpus_stats(spark, sf_dir):
+    return text_analysis.corpus_stats(_docs(spark, sf_dir))
+
+
+def q_boilerplate_stats(spark, sf_dir):
+    return text_analysis.boilerplate_stats(_docs(spark, sf_dir), n=3, df_min=2)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Driver-differ-safe projection: per-feature scalar columns (the
     differ canonicalizes via pandas sort, which cannot hash an
@@ -488,6 +496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "repetition_stats": q_repetition_stats,
         "tfidf_topk": q_tfidf_topk,
+        "corpus_stats": q_corpus_stats,
+        "boilerplate_stats": q_boilerplate_stats,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1216,6 +1226,35 @@ def _sql_tfidf_topk(k: int = 5) -> str:
     )
 
 
+def _sql_corpus_stats() -> str:
+    return (
+        "WITH p AS (SELECT lang, source, "
+        "CAST(len(string_split(" + _D_NORM_DOC + ", ' ')) AS INT) AS n_toks, "
+        "CAST(length(text) AS INT) AS n_chars FROM documents), "
+        "g AS (SELECT lang, source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_toks) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM p GROUP BY 1, 2) "
+        "SELECT lang, source, n_docs, total_tokens, total_chars, "
+        "CAST(FLOOR(total_tokens * 100 / n_docs) AS BIGINT) AS mean_tokens_x100 FROM g"
+    )
+
+
+def _sql_boilerplate_stats(df_min: int = 2) -> str:
+    return (
+        "WITH docs AS " + _D_DOCS_NORM + ", sh AS " + _D_SHINGLES + ", "
+        "dft AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle), "
+        "per AS (SELECT doc_id, COUNT(*) AS n_shingles, "
+        f"CAST(SUM(CASE WHEN df >= {df_min} THEN 1 ELSE 0 END) AS BIGINT) AS n_shared "
+        "FROM sh JOIN dft ON sh.shingle = dft.shingle GROUP BY doc_id) "
+        "SELECT documents.doc_id, CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles, "
+        "CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_shingles, "
+        "CAST(CASE WHEN COALESCE(n_shingles, 0) > 0 "
+        "THEN FLOOR(COALESCE(n_shared, 0) * 1000 / n_shingles) ELSE 0 END AS BIGINT) "
+        "AS shared_frac_x1000 "
+        "FROM documents LEFT JOIN per ON documents.doc_id = per.doc_id"
+    )
+
+
 def _sql_multimodal_features() -> str:
     """Exact oracle for the fake byte-mean features: DuckDB reads payload
     bytes via hex() + strpos (no blob indexing), reproduces the
@@ -1321,6 +1360,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _sql_dup_clusters(),
         "repetition_stats": _sql_repetition_stats(),
         "tfidf_topk": _sql_tfidf_topk(),
+        "corpus_stats": _sql_corpus_stats(),
+        "boilerplate_stats": _sql_boilerplate_stats(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

@@ -525,6 +525,76 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) corpus rollup: the reporting layer a curation
+    pipeline ships with every run (doc counts, token/char totals, mean
+    doc length). One partial-aggregating shuffle on a tiny key space;
+    integer-only (mean x100, floored) for exact cross-engine hashing."""
+    words = _norm_words(F.col("text"))
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(words).alias("n_toks"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "mean_tokens_x100",
+            F.floor(F.col("total_tokens") * 100 / F.col("n_docs")).cast("long"),
+        )
+    )
+
+
+def boilerplate_stats(docs: DataFrame, n: int = 3, df_min: int = 2) -> DataFrame:
+    """CCNet-style boilerplate measurement: the fraction of a document's
+    distinct word ``n``-shingles that also occur in at least ``df_min``
+    documents corpus-wide. High shared fraction = template/boilerplate
+    text (navigation chrome, license headers) — the complement of the
+    novelty signal dedup misses when no single pair crosses a Jaccard
+    threshold.
+
+    Scale shape: reuses the dedup shingle index — one groupBy(shingle)
+    for document frequencies, one join back keyed on shingle, one
+    groupBy(doc_id). No pair joins at all, so cost is linear in corpus
+    shingle volume.
+    """
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n)
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_t, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= df_min).cast("int")).cast("long").alias("n_shared"),
+        )
+    )
+    out = (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_shingles"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.floor(F.coalesce("n_shared", F.lit(0)) * 1000 / F.col("n_shingles")),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("shared_frac_x1000"),
+        )
+    )
+    return out
+
+
 def stratified_sample(docs: DataFrame, rate_x1000: int = 200, strata_col: str = "lang") -> DataFrame:
     """Deterministic per-stratum sampling: keep a document iff its md5
     hash bucket (mod 1000) falls under the stratum's rate. Hash-based

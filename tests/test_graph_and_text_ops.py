@@ -155,6 +155,46 @@ def test_tfidf_topk_ranking(spark):
     assert all(len(v) <= 3 for v in by_doc.values())
 
 
+def test_corpus_stats_rollup(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three", "en", "web"),
+            (1, "four five", "en", "web"),
+            (2, "sechs", "de", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {(r["lang"], r["source"]): r for r in text_analysis.corpus_stats(docs).collect()}
+    en = got[("en", "web")]
+    assert en["n_docs"] == 2 and en["total_tokens"] == 5
+    assert en["total_chars"] == len("one two three") + len("four five")
+    assert en["mean_tokens_x100"] == 250
+    assert got[("de", "web")]["n_docs"] == 1
+
+
+def test_boilerplate_stats_shared_fraction(spark):
+    # docs 0 and 1 share the shingle "a b c"; doc 2 is all-novel;
+    # doc 3 is too short for any 3-shingle
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c e"),
+            (2, "p q r s"),
+            (3, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in text_analysis.boilerplate_stats(docs, n=3, df_min=2).collect()
+    }
+    # doc 0 shingles: "a b c", "b c d" -> 1 of 2 shared
+    assert got[0]["n_shingles"] == 2 and got[0]["n_shared_shingles"] == 1
+    assert got[0]["shared_frac_x1000"] == 500
+    assert got[1]["shared_frac_x1000"] == 500
+    assert got[2]["n_shared_shingles"] == 0 and got[2]["shared_frac_x1000"] == 0
+    assert got[3]["n_shingles"] == 0 and got[3]["shared_frac_x1000"] == 0
+
+
 def test_tfidf_topk_k_cap_and_term_tiebreak(spark):
     docs = spark.createDataFrame(
         [(0, "q r p q r p")], "doc_id long, text string"
