@@ -998,6 +998,7 @@ def _sql_curate(
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
     min_tokens: int = 5,
     max_tokens: int = 100_000,
+    max_dup_word_x1000: int = 800,
 ) -> str:
     # composes the already-verified per-operator oracles (each wrapped as
     # a parenthesized subquery) with the same first-failing-reason CASE
@@ -1007,19 +1008,26 @@ def _sql_curate(
         "q AS (SELECT doc_id, quality FROM (" + _sql_quality_score() + ") x), "
         "l AS (SELECT doc_id, pred_lang FROM (" + _sql_lang_id() + ") x), "
         "t AS (SELECT doc_id, n_ws_tokens FROM (" + _sql_token_count() + ") x), "
-        "j AS (SELECT documents.doc_id, keep_id, is_duplicate, quality, pred_lang, n_ws_tokens "
+        "r AS (SELECT doc_id, CAST(CASE WHEN len(w) > 0 "
+        "THEN FLOOR((len(w) - len(list_distinct(w))) * 1000 / len(w)) ELSE 0 END AS BIGINT) "
+        "AS dup_word_frac_x1000 FROM "
+        "(SELECT doc_id, string_split(" + _D_NORM_DOC + ", ' ') AS w FROM documents) rw), "
+        "j AS (SELECT documents.doc_id, keep_id, is_duplicate, quality, pred_lang, n_ws_tokens, "
+        "dup_word_frac_x1000 "
         "FROM documents JOIN dd ON documents.doc_id = dd.doc_id "
         "JOIN q ON documents.doc_id = q.doc_id "
         "JOIN l ON documents.doc_id = l.doc_id "
-        "JOIN t ON documents.doc_id = t.doc_id), "
-        "v AS (SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, "
+        "JOIN t ON documents.doc_id = t.doc_id "
+        "JOIN r ON documents.doc_id = r.doc_id), "
+        "v AS (SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, dup_word_frac_x1000, "
         "CASE WHEN is_duplicate = 1 THEN 'duplicate' "
         f"WHEN n_ws_tokens < {min_tokens} THEN 'too_short' "
         f"WHEN n_ws_tokens > {max_tokens} THEN 'too_long' "
         f"WHEN quality < {min_quality} THEN 'low_quality' "
+        f"WHEN dup_word_frac_x1000 > {max_dup_word_x1000} THEN 'repetitive' "
         f"WHEN pred_lang NOT IN ({lang_list}) THEN 'lang_filtered' "
         "ELSE 'kept' END AS verdict FROM j) "
-        "SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, verdict, "
+        "SELECT doc_id, keep_id, quality, pred_lang, n_ws_tokens, dup_word_frac_x1000, verdict, "
         "CAST(verdict = 'kept' AS INT) AS keep FROM v"
     )
 

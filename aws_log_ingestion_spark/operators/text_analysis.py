@@ -227,36 +227,51 @@ def curate(
     langs: tuple[str, ...] = ("en", "de", "fr", "es"),
     min_tokens: int = 5,
     max_tokens: int = 100_000,
+    max_dup_word_x1000: int = 800,
 ) -> DataFrame:
     """End-to-end training-data curation verdict per document — the
     composition the individual operators exist for: exact-dup removal
     (keep the min-doc_id representative), quality floor, language
-    allowlist, token-count band. One row per document with the keep
-    verdict and the FIRST failing reason (checks ordered cheapest-first),
-    so curation decisions are auditable rather than silently dropped.
+    allowlist, token-count band, and a degenerate-repetition gate
+    (duplicate-word fraction > 0.8 — token-loop output; NOT a boilerplate
+    detector: natural prose runs 0.4-0.6 dup words from stopwords alone,
+    so the line/2-gram signals in ``repetition_stats`` cover that). One row per document with the keep verdict and the FIRST
+    failing reason (checks ordered cheapest-first), so curation decisions
+    are auditable rather than silently dropped.
 
     All pure Catalyst on one pass over the table: the dedup window is the
-    only shuffle; quality/lang/tokens are per-row expressions. At 100 TB
-    this runs as one stage + one window exchange.
+    only shuffle; quality/lang/tokens/repetition are per-row expressions
+    (the repetition gate uses only the array_distinct dup-word fraction —
+    the top-2-gram signal in ``repetition_stats`` needs its own shuffle
+    and stays a separate operator). At 100 TB this runs as one stage +
+    one window exchange.
     """
     from .dedup import exact_dedup
 
+    words = _norm_words(F.col("text"))
+    dup_frac = F.when(
+        F.size(words) > 0,
+        F.floor((F.size(words) - F.size(F.array_distinct(words))) * 1000 / F.size(words)),
+    ).otherwise(0).cast("long")
     dedup_v = exact_dedup(docs).select("doc_id", "is_duplicate", "keep_id")
     lang_v = lang_id(docs).select("doc_id", "pred_lang")
     qual_v = quality_score(docs).select("doc_id", "quality")
     tok_v = token_counts(docs).select("doc_id", "n_ws_tokens")
+    rep_v = docs.select("doc_id", dup_frac.alias("dup_word_frac_x1000"))
     j = (
         docs.select("doc_id")
         .join(dedup_v, "doc_id")
         .join(qual_v, "doc_id")
         .join(lang_v, "doc_id")
         .join(tok_v, "doc_id")
+        .join(rep_v, "doc_id")
     )
     reason = (
         F.when(F.col("is_duplicate") == 1, "duplicate")
         .when(F.col("n_ws_tokens") < min_tokens, "too_short")
         .when(F.col("n_ws_tokens") > max_tokens, "too_long")
         .when(F.col("quality") < min_quality, "low_quality")
+        .when(F.col("dup_word_frac_x1000") > max_dup_word_x1000, "repetitive")
         .when(~F.col("pred_lang").isin(*langs), "lang_filtered")
         .otherwise("kept")
     )
@@ -266,6 +281,7 @@ def curate(
         "quality",
         "pred_lang",
         "n_ws_tokens",
+        "dup_word_frac_x1000",
         reason.alias("verdict"),
         (reason == "kept").cast("int").alias("keep"),
     )

@@ -282,6 +282,28 @@ def test_curate_verdicts_on_planted_docs(docs):
     assert got[6]["verdict"] == "kept"
 
 
+def test_curate_repetitive_branch(spark):
+    """The degenerate-repetition gate fires AFTER quality and BEFORE
+    lang: a >80%-duplicate-words doc (token-loop output) that passes the
+    quality floor lands 'repetitive'; high-but-natural stopword
+    repetition does not trip it."""
+    docs = spark.createDataFrame(
+        [
+            # 21 words, 3 distinct -> dup frac 857
+            (0, "the cat and " * 7, "en"),
+            (1, "the quick brown fox jumps over one lazy dog near rivers", "en"),
+            # heavy stopword repetition (frac ~545) stays kept
+            (2, "the cat and the dog and the bird and the fish ran", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"]: r for r in text_analysis.curate(docs).collect()}
+    assert got[0]["verdict"] == "repetitive" and got[0]["keep"] == 0
+    assert got[0]["dup_word_frac_x1000"] > 800
+    assert got[1]["verdict"] == "kept"
+    assert got[2]["verdict"] == "kept" and got[2]["dup_word_frac_x1000"] > 400
+
+
 def test_shard_assign_deterministic_and_complete(docs):
     a = {r["doc_id"]: r for r in text_analysis.shard_assign(docs, n_shards=4).collect()}
     b = {r["doc_id"]: r for r in text_analysis.shard_assign(docs, n_shards=4).collect()}
