@@ -455,6 +455,54 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_key_skew_stats(spark, sf_dir):
+    """Skew diagnostic / salting planner over the transcript key: the
+    hot-conversation finder whose output feeds the salted two-level
+    paths. target_rows_per_task=50 so the synthetic corpus (~67
+    turns/conv) exercises both the 1-salt and multi-salt branches."""
+    from aws_log_ingestion_spark.operators.sessions import key_skew_stats
+
+    return key_skew_stats(
+        _transcripts(spark, sf_dir), top_k=20, target_rows_per_task=50
+    )
+
+
+def q_asof_enrich(spark, sf_dir):
+    """Point-in-time enrich: each turn gains the (turn_idx, ts) of the
+    latest NR-marker state event at-or-before its own event time within
+    the conversation. Spark runs the union + forward-fill window
+    decomposition (operators/temporal.py); the oracle is DuckDB's NATIVE
+    ASOF JOIN — different algorithm, same semantics, so the hash match
+    verifies the decomposition itself."""
+    from aws_log_ingestion_spark.operators.temporal import asof_join
+
+    t = _with_ts_ms(_transcripts(spark, sf_dir))
+    facts = t.select("conv_id", "turn_idx", "ts_ms")
+    states = (
+        t.filter(P.is_nr_marker(F.col("text")))
+        .groupBy("conv_id", "ts_ms")
+        .agg(F.max("turn_idx").cast("int").alias("marker_turn_idx"))
+        .withColumn("marker_ts_ms", F.col("ts_ms"))
+    )
+    return asof_join(
+        facts, states, key="conv_id", ts="ts_ms",
+        value_cols=("marker_turn_idx", "marker_ts_ms"),
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicated-line removal. The documents corpus is
+    single-line, so the query first folds every run of 8 words into a
+    line (same global regex in both dialects); duplicate lines then
+    arise naturally from the corpus's exact-duplicate documents and
+    shared boilerplate 8-grams."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n").alias("text"),
+    )
+    return dedup.line_dedup(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts_derive": q_transcripts_derive,
@@ -498,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "corpus_stats": q_corpus_stats,
         "boilerplate_stats": q_boilerplate_stats,
+        "key_skew_stats": q_key_skew_stats,
+        "asof_enrich": q_asof_enrich,
+        "line_dedup": q_line_dedup,
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1124,6 +1175,61 @@ def _sql_sessionize(gap_ms: int = 86_400_000) -> str:
     )
 
 
+def _sql_key_skew_stats(top_k: int = 20, target: int = 50) -> str:
+    return (
+        "WITH t AS " + _DUCK_T + ", "
+        "c AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_rows FROM t "
+        "GROUP BY conv_id), "
+        "tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM c), "
+        "top AS (SELECT c.conv_id, c.n_rows, tot.total_rows FROM c, tot "
+        f"ORDER BY n_rows DESC, conv_id LIMIT {top_k}) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, conv_id) AS INT) "
+        "AS skew_rank, conv_id, n_rows, total_rows, "
+        "CAST(n_rows * 1000000 // total_rows AS BIGINT) AS share_ppm, "
+        f"CAST((n_rows + {target} - 1) // {target} AS BIGINT) AS suggested_salts "
+        "FROM top"
+    )
+
+
+def _sql_asof_enrich() -> str:
+    # DuckDB's NATIVE ASOF JOIN (per-probe binary search) vs Spark's
+    # union+forward-fill window: a cross-algorithm semantic check.
+    return (
+        "WITH t AS " + _DUCK_T + ", "
+        "f AS (SELECT conv_id, turn_idx, epoch_ms(ts) AS ts_ms FROM t), "
+        "m AS (SELECT conv_id, epoch_ms(ts) AS mts, "
+        "CAST(MAX(turn_idx) AS INT) AS marker_turn_idx FROM t "
+        "WHERE " + _D_NR + " GROUP BY conv_id, epoch_ms(ts)) "
+        "SELECT f.conv_id, f.turn_idx, f.ts_ms, m.marker_turn_idx, "
+        "m.mts AS marker_ts_ms "
+        "FROM f ASOF LEFT JOIN m "
+        "ON f.conv_id = m.conv_id AND f.ts_ms >= m.mts"
+    )
+
+
+def _sql_line_dedup() -> str:
+    nl = "chr(10)"
+    return (
+        "WITH d AS (SELECT doc_id, regexp_replace(text, "
+        r"'((\S+ ){7}\S+) ', '\1' || " + nl + ", 'g') AS text FROM documents), "
+        "l AS (SELECT doc_id, CAST(i AS INT) AS line_idx, parts[CAST(i + 1 AS INT)] AS line "
+        "FROM (SELECT doc_id, string_split(text, " + nl + ") AS parts FROM d) p, "
+        "unnest(range(0, len(parts))) t(i)), "
+        "ne AS (SELECT doc_id, line_idx, line, trim(line) AS k FROM l "
+        "WHERE trim(line) <> ''), "
+        "ranked AS (SELECT doc_id, line_idx, line, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, line_idx) AS rn FROM ne), "
+        "kept AS (SELECT doc_id, line_idx, line FROM ranked WHERE rn = 1 "
+        "UNION ALL SELECT doc_id, line_idx, line FROM l WHERE trim(line) = ''), "
+        "a AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept, "
+        "string_agg(line, " + nl + " ORDER BY line_idx) AS text_dedup "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(len(string_split(d.text, " + nl + ")) AS INT) AS n_lines, "
+        "COALESCE(a.n_kept, 0) AS n_kept, COALESCE(a.text_dedup, '') AS text_dedup "
+        "FROM d LEFT JOIN a ON d.doc_id = a.doc_id"
+    )
+
+
 def _sql_conversation_stats() -> str:
     return (
         "WITH t AS " + _DUCK_T + " "
@@ -1370,6 +1476,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "corpus_stats": _sql_corpus_stats(),
         "boilerplate_stats": _sql_boilerplate_stats(),
+        "key_skew_stats": _sql_key_skew_stats(),
+        "asof_enrich": _sql_asof_enrich(),
+        "line_dedup": _sql_line_dedup(),
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),

@@ -328,3 +328,68 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level duplicated-line removal (the C4/CCNet/Dolma recipe):
+    every line that occurs more than once ACROSS the whole corpus keeps
+    only its first global occurrence (min (doc_id, line_idx)); documents
+    are reassembled in original line order.  Whitespace-only lines are
+    structural, not content — always kept, never dedup keys.
+
+    Spark-first shape, chosen for 100 TB:
+
+      * first-occurrence = ``groupBy(line_key).agg(min(struct(doc_id,
+        line_idx)))`` — partial aggregation combines map-side, so a
+        boilerplate line repeated 10^9 times ships ONE row per input
+        partition to the reduce side (a window/row_number over the line
+        key would funnel the full hot key through one task instead);
+      * the join back is an equi-join against a table that is UNIQUE per
+        key (build side ~ |distinct lines|), AQE skew-split friendly;
+      * reassembly rides one doc_id shuffle: sort_array(collect_list(
+        struct(line_idx, line))) keeps order without a second window.
+
+    Returns (doc_id, n_lines, n_kept, text_dedup); docs whose every line
+    was removed keep a row with n_kept=0 and empty text.
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line"),
+    )
+    key = F.trim(F.col("line"))
+    nonempty = lines.filter(key != "").withColumn("k", key)
+    firsts = nonempty.groupBy("k").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("first_occ")
+    )
+    kept_ne = (
+        nonempty.join(firsts, "k")
+        .filter(
+            (F.col("doc_id") == F.col("first_occ.doc_id"))
+            & (F.col("line_idx") == F.col("first_occ.line_idx"))
+        )
+        .select("doc_id", "line_idx", "line")
+    )
+    empties = lines.filter(key == "").select("doc_id", "line_idx", "line")
+    agg = (
+        kept_ne.unionByName(empties)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split(F.col(text_col), "\n")).cast("int").alias("n_lines")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )

@@ -61,3 +61,44 @@ def conversation_stats(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_request_id_lines"),
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key: str = "conv_id",
+    top_k: int = 20,
+    target_rows_per_task: int = 100_000,
+) -> DataFrame:
+    """Skew diagnostic + salting planner: the top-k heaviest keys with
+    their integer per-million share of all rows and the salt count the
+    two-level decomposition would use for them
+    (ceil(n_rows / target_rows_per_task) — the knob chunk_replay_salted
+    and the salted request-id fill take).
+
+    The north rule demands skew handled EXPLICITLY; this is the operator
+    that finds the hot conversations to hand to the salted paths.  Scale
+    shape: one map-side-combining groupBy on the key (hot keys collapse
+    to one row per input partition before the shuffle), a broadcast of
+    the ONE-row grand total (never a single-partition window over the
+    full counts table), and a driver-side TakeOrdered top-k.  All
+    derived columns are integer arithmetic, so the driver oracle is
+    exact.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("long").alias("total_rows"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.col("n_rows").desc(), F.col(key).asc())
+        .limit(top_k)
+    )
+    w = W.orderBy(F.col("n_rows").desc(), F.col(key).asc())
+    t = target_rows_per_task
+    # DIV = true integer division (DuckDB `//`) — no double rounding ever
+    return top.select(
+        F.row_number().over(w).cast("int").alias("skew_rank"),
+        key,
+        "n_rows",
+        "total_rows",
+        F.expr("n_rows * 1000000 DIV total_rows").cast("long").alias("share_ppm"),
+        F.expr(f"(n_rows + {t} - 1) DIV {t}").cast("long").alias("suggested_salts"),
+    )
