@@ -455,6 +455,12 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_rarity_score(spark, sf_dir):
+    """Inverse-document-frequency rarity scoring — the exact-integer
+    analog of perplexity-based quality bucketing."""
+    return text_analysis.rarity_score(_docs(spark, sf_dir))
+
+
 def q_key_skew_stats(spark, sf_dir):
     """Skew diagnostic / salting planner over the transcript key: the
     hot-conversation finder whose output feeds the salted two-level
@@ -546,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "corpus_stats": q_corpus_stats,
         "boilerplate_stats": q_boilerplate_stats,
+        "rarity_score": q_rarity_score,
         "key_skew_stats": q_key_skew_stats,
         "asof_enrich": q_asof_enrich,
         "line_dedup": q_line_dedup,
@@ -1175,6 +1182,26 @@ def _sql_sessionize(gap_ms: int = 86_400_000) -> str:
     )
 
 
+def _sql_rarity_score() -> str:
+    return (
+        "WITH norm AS (SELECT doc_id, " + _D_NORM_DOC + " AS t FROM documents), "
+        "tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm), "
+        "tk AS (SELECT doc_id, tok FROM tok WHERE tok <> ''), "
+        "pdt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM tk GROUP BY doc_id, tok), "
+        "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM pdt GROUP BY tok), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents), "
+        "wt AS (SELECT tok, CAST(n_docs * 1000 // df AS BIGINT) AS w FROM dft, n), "
+        "s AS (SELECT doc_id, CAST(SUM(cnt * w) AS BIGINT) AS rarity_sum, "
+        "CAST(SUM(cnt) AS BIGINT) AS n_tokens "
+        "FROM pdt JOIN wt USING (tok) GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(s.n_tokens, 0) AS n_tokens, "
+        "COALESCE(s.rarity_sum, 0) AS rarity_sum, "
+        "COALESCE(s.rarity_sum // s.n_tokens, 0) AS rarity_avg "
+        "FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id"
+    )
+
+
 def _sql_key_skew_stats(top_k: int = 20, target: int = 50) -> str:
     return (
         "WITH t AS " + _DUCK_T + ", "
@@ -1476,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "corpus_stats": _sql_corpus_stats(),
         "boilerplate_stats": _sql_boilerplate_stats(),
+        "rarity_score": _sql_rarity_score(),
         "key_skew_stats": _sql_key_skew_stats(),
         "asof_enrich": _sql_asof_enrich(),
         "line_dedup": _sql_line_dedup(),

@@ -627,3 +627,59 @@ def stratified_sample(docs: DataFrame, rate_x1000: int = 200, strata_col: str = 
         bucket.cast("int").alias("sample_bucket"),
         (bucket < rate_x1000).cast("int").alias("sampled"),
     )
+
+
+def rarity_score(docs: DataFrame) -> DataFrame:
+    """Corpus-statistical rarity signal — the exact-integer analog of
+    CCNet's LM-perplexity quality bucketing: every token occurrence is
+    weighted by inverse document frequency, so corpus-typical vocabulary
+    scores low and rare vocabulary scores high (head/middle/tail
+    bucketing then thresholds rarity_avg).
+
+        weight(tok) = n_docs * 1000 DIV df(tok)      -- monotone in idf
+        rarity_avg  = sum(cnt * weight) DIV n_tokens -- per document
+
+    All integer arithmetic (DIV both engines), so the oracle is exact —
+    no float log/perplexity drift across engines.
+
+    100 TB shape: per-(doc,token) counts first (map-side combine kills
+    within-doc repetition), document frequency = a second combine-heavy
+    groupBy over those pairs, the one-row corpus total is broadcast, and
+    the weight join probes with AT MOST df rows per token (never raw
+    occurrences), with AQE skew-split for stopword-grade tokens. No
+    Python, no window over a hot key.
+    """
+    words = _norm_words(F.col("text"))
+    toks = docs.select("doc_id", F.explode(words).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    per_doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    df_tab = per_doc_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    weights = df_tab.crossJoin(F.broadcast(n_docs)).select(
+        "tok", F.expr("n_docs * 1000 DIV df").cast("long").alias("w")
+    )
+    scored = (
+        per_doc_tok.join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).cast("long").alias("rarity_sum"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("rarity_sum", F.lit(0)).cast("long").alias("rarity_sum"),
+            F.coalesce(F.expr("rarity_sum DIV n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("rarity_avg"),
+        )
+    )

@@ -41,10 +41,32 @@ def get_spark(
     default to 2x cores locally — AQE coalesces down when input is small.
     """
     builder = SparkSession.builder.appName(app_name)
-    if cores is not None:
+    # SPARK_GRAFT_MASTER overrides the topology without touching callers:
+    # e.g. "local-cluster[4,8,14336]" = 4 SEPARATE executor JVMs x 8 cores
+    # x 14 GiB workers — the faithful proxy for "N vs 4N executors" (own
+    # heap/GC per executor, real netty shuffle between processes), unlike
+    # one fat local[4N] JVM. ``cores`` keeps sizing shuffle partitions.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        builder = builder.master(master_env)
+        if master_env.startswith("local-cluster"):
+            import re as _re
+
+            m = _re.match(r"local-cluster\[(\d+),(\d+),(\d+)\]", master_env)
+            if m:
+                _n_exec, _exec_cores, mem_mb = (int(x) for x in m.groups())
+                # executor heap fits inside the worker allowance; the
+                # driver only plans/collects, so it keeps a small heap
+                builder = builder.config(
+                    "spark.executor.memory", f"{max(mem_mb - 2048, 1024)}m"
+                )
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            # executor Python workers must import this package
+            builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+    elif cores is not None:
         builder = builder.master(f"local[{cores}]")
-        if shuffle_partitions is None:
-            shuffle_partitions = max(2 * cores, 8)
+    if cores is not None and shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
 
@@ -63,7 +85,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", _heap_for(cores)))
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_DRIVER_MEMORY",
+                # under local-cluster the EXECUTORS hold the data; the
+                # driver only plans and collects small results
+                "8g" if (master_env or "").startswith("local-cluster") else _heap_for(cores),
+            ),
+        )
     )
     # GC/JVM experiments without code changes (e.g. -XX:+UseParallelGC)
     java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTIONS")

@@ -20,7 +20,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str, cpus: int, amplify: int, repeat: int = 3) -> dict:
+def run_bench(
+    sf_dir: str, cpus: int, amplify: int, repeat: int = 3, master: str | None = None
+) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=sf_dir,
@@ -28,6 +30,12 @@ def run_bench(sf_dir: str, cpus: int, amplify: int, repeat: int = 3) -> dict:
         SPARK_GRAFT_AMPLIFY=str(amplify),
         SPARK_GRAFT_REPEAT=str(repeat),
     )
+    if master:
+        # e.g. local-cluster[4,8,14336]: real SEPARATE executor JVMs —
+        # own heap/GC each, netty shuffle between processes (the faithful
+        # N-vs-4N-executor topology); taskset still bounds total cores
+        env["SPARK_GRAFT_MASTER"] = master
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
     # local[N] bounds TASK SLOTS only — GC, netty, parquet writer threads
     # and Python workers spill onto other cores, flattering the small
@@ -76,6 +84,14 @@ def main() -> None:
     levels = tuple(
         int(x) for x in os.environ.get("SCALE_LEVELS", "2,8").split(",")
     )
+    # SCALE_MASTERS="local-cluster[1,8,14336];local-cluster[4,8,14336]"
+    # pairs a master topology with each level (total cores must equal the
+    # SCALE_LEVELS entry so taskset pinning stays correct)
+    masters_env = os.environ.get("SCALE_MASTERS")
+    masters: dict[int, str] = {}
+    if masters_env:
+        for lvl, m in zip(levels, masters_env.split(";")):
+            masters[lvl] = m
 
     # Interleave the two parallelism levels across rounds so co-tenant CPU
     # noise (2-5x wall variance on this box) hits both equally; keep the
@@ -86,7 +102,7 @@ def main() -> None:
         for cpus in levels:
             loads.append(loadavg())
             print(f"round {rnd}: local[{cpus}] (loadavg {loads[-1]}) ...", flush=True)
-            r = run_bench(sf_dir, cpus, amplify, repeat=2)
+            r = run_bench(sf_dir, cpus, amplify, repeat=2, master=masters.get(cpus))
             print(json.dumps(r), flush=True)
             if cpus not in results or r["value"] > results[cpus]["value"]:
                 prev = results.get(cpus)
@@ -102,6 +118,8 @@ def main() -> None:
                 ]
 
     n_small, n_big = levels
+    lbl_small = masters.get(n_small, f"local[{n_small}]")
+    lbl_big = masters.get(n_big, f"local[{n_big}]")
     tps8 = results[n_small]["value"]
     tps32 = results[n_big]["value"]
     factor = n_big / n_small
@@ -122,7 +140,7 @@ Generated {datetime.date.today().isoformat()} by `scripts/scaling_bench.py`
 on local mode. This sandbox is a SHARED 32-core box (loadavg during runs:
 {[round(x,1) for x in loads]}); identical jobs vary 2-5x in wall time with
 co-tenant load, so each level reports the min over {rounds}x2 interleaved
-full-job runs, and the levels are local[{n_small}] vs local[{n_big}],
+full-job runs, and the levels are {lbl_small} vs {lbl_big},
 each PINNED with `taskset -c 0-(N-1)` so the whole process tree (task
 slots, GC, shuffle/netty and Python workers) really uses N cores — the
 honest proxy for an N-core executor. {_capacity_note(n_big)}
@@ -135,8 +153,8 @@ write -> logging (MELT) write, exactly plans/job.py minus chunk stage.
 
 | parallelism | turns/sec | job wall (best) | turns per CPU-sec | job CPU-sec (min) | stage timings (s) |
 |---|---|---|---|---|---|
-| local[{n_small}]  (N)  | {tps8:,.0f} | {results[n_small]["queries"]["job_total"]:.1f}s | {tpc_small:,.0f} | {cpu_small:.1f} | hub {results[n_small]["queries"]["hub_write"]:.1f} / infra {results[n_small]["queries"]["infra_write"]:.1f} / logging {results[n_small]["queries"]["logging_write"]:.1f} |
-| local[{n_big}] (4N) | {tps32:,.0f} | {results[n_big]["queries"]["job_total"]:.1f}s | {tpc_big:,.0f} | {cpu_big:.1f} | hub {results[n_big]["queries"]["hub_write"]:.1f} / infra {results[n_big]["queries"]["infra_write"]:.1f} / logging {results[n_big]["queries"]["logging_write"]:.1f} |
+| {lbl_small}  (N)  | {tps8:,.0f} | {results[n_small]["queries"]["job_total"]:.1f}s | {tpc_small:,.0f} | {cpu_small:.1f} | hub {results[n_small]["queries"]["hub_write"]:.1f} / infra {results[n_small]["queries"]["infra_write"]:.1f} / logging {results[n_small]["queries"]["logging_write"]:.1f} |
+| {lbl_big} (4N) | {tps32:,.0f} | {results[n_big]["queries"]["job_total"]:.1f}s | {tpc_big:,.0f} | {cpu_big:.1f} | hub {results[n_big]["queries"]["hub_write"]:.1f} / infra {results[n_big]["queries"]["infra_write"]:.1f} / logging {results[n_big]["queries"]["logging_write"]:.1f} |
 
 **Scaling efficiency (N -> 4N): wall-based {eff:.2f}, CPU-based {eff_cpu:.2f}**
 (target >= 0.8, BASELINE.json north rule; sandbox proxy for N vs 4N executor
@@ -147,8 +165,8 @@ process tree's CPU via /proc — immune to co-tenant wall noise: it asks
 exactly what would cap throughput scaling on a real dedicated cluster.
 
 All job wall times observed (noise visibility):
-local[{n_small}]: {results[n_small]["queries"]["job_total_all_runs"]} —
-local[{n_big}]: {results[n_big]["queries"]["job_total_all_runs"]}
+{lbl_small}: {results[n_small]["queries"]["job_total_all_runs"]} —
+{lbl_big}: {results[n_big]["queries"]["job_total_all_runs"]}
 
 ## Per-sink routed-row counts (identical at both levels — parity gate)
 
@@ -163,8 +181,8 @@ Counts equal at both levels: {results[n_small]["sink_counts"] == results[n_big][
 
 ## Chunk replay (grouped applyInPandas, 5% conversation sample)
 
-local[{n_big}]: {results[n_big]["queries"]["chunk_replay_5pct"]:.1f}s —
-local[{n_small}]: {results[n_small]["queries"]["chunk_replay_5pct"]:.1f}s.
+{lbl_big}: {results[n_big]["queries"]["chunk_replay_5pct"]:.1f}s —
+{lbl_small}: {results[n_small]["queries"]["chunk_replay_5pct"]:.1f}s.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     target = os.path.join(REPO, "BENCH", "BASELINE.md")

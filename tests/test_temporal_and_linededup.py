@@ -180,3 +180,20 @@ def test_key_skew_stats(spark):
     assert hot.share_ppm == 250 * 1_000_000 // 351
     assert hot.suggested_salts == 3  # ceil(250/100)
     assert out[1].suggested_salts == 1
+
+
+def test_rarity_score_hand_computed(spark):
+    from aws_log_ingestion_spark.operators.text_analysis import rarity_score
+
+    docs = _docs(
+        spark,
+        [(1, "aa aa bb"), (2, "aa cc"), (3, "dd"), (4, "")],
+    )
+    got = {r.doc_id: r for r in rarity_score(docs).collect()}
+    # n_docs=4 -> weight = 4000 DIV df; df: aa=2, bb=cc=dd=1
+    assert (got[1].n_tokens, got[1].rarity_sum) == (3, 2 * 2000 + 4000)
+    assert got[1].rarity_avg == (2 * 2000 + 4000) // 3
+    assert got[2].rarity_avg == (2000 + 4000) // 2
+    assert got[3].rarity_avg == 4000  # all-rare vocabulary scores highest
+    assert (got[4].n_tokens, got[4].rarity_sum, got[4].rarity_avg) == (0, 0, 0)
+    assert got[3].rarity_avg > got[2].rarity_avg > got[1].rarity_avg
