@@ -56,15 +56,43 @@ _CLASSES: list[tuple[str, str, int, int]] = [
 # ------------------------------------------------------------ Spark side
 
 
+# Fused per-depth scan plans for esc_extra: same classes/weights as
+# _CLASSES, but (a) classes sharing a weight at that depth merge into one
+# character-class regex (one scan instead of two), and (b) the >=U+0080
+# classes are evaluated ONLY when octet_length != length (UTF-8 length
+# mismatch == a non-ASCII char exists; CASE WHEN short-circuits in
+# whole-stage codegen, so pure-ASCII rows — virtually all log lines —
+# never pay those scans). 5 regex passes -> 2 (depth 1) / 3 (depth 2),
+# bit-identical totals (pinned vs the Python json.dumps in
+# tests/test_jsoncost.py).
+_QB_NAMED = '["\\\\\\x08\\x09\\x0A\\x0C\\x0D]'
+_ASCII_PLANS: dict[int, list[tuple[str, int]]] = {
+    1: [(_QB_NAMED, 1), ("[\\x00-\\x07\\x0B\\x0E-\\x1F]", 5)],
+    2: [
+        ('["\\\\]', 3),
+        ("[\\x08\\x09\\x0A\\x0C\\x0D]", 2),
+        ("[\\x00-\\x07\\x0B\\x0E-\\x1F]", 6),
+    ],
+}
+_WIDE_PLANS: dict[int, list[tuple[str, int]]] = {
+    1: [("[\\x{80}-\\x{FFFF}]", 5), ("[\\x{10000}-\\x{10FFFF}]", 11)],
+    2: [("[\\x{80}-\\x{FFFF}]", 6), ("[\\x{10000}-\\x{10FFFF}]", 13)],
+}
+
+
 def esc_extra(col: Column, depth: int = 1) -> Column:
     """Extra bytes json.dumps adds over the code-point count (NULL-safe:
     null input costs 0 — an absent optional field)."""
     s = F.coalesce(col, F.lit(""))
     total = F.lit(0).cast("long")
-    for _name, pat, w1, w2 in _CLASSES:
-        w = w1 if depth == 1 else w2
+    for pat, w in _ASCII_PLANS[depth]:
         total = total + F.regexp_count(s, F.lit(pat)).cast("long") * F.lit(w)
-    return total
+    wide = F.lit(0).cast("long")
+    for pat, w in _WIDE_PLANS[depth]:
+        wide = wide + F.regexp_count(s, F.lit(pat)).cast("long") * F.lit(w)
+    return total + F.when(
+        F.octet_length(s) == F.length(s), F.lit(0).cast("long")
+    ).otherwise(wide)
 
 
 def esc_len(col: Column, depth: int = 1) -> Column:
