@@ -83,7 +83,12 @@ def get_spark(
         # Arrow batches feed the two pandas UDFs; 10k rows balances Python
         # worker latency against per-batch memory for long text columns.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd default (storage-efficient finals); SPARK_GRAFT_PARQUET_CODEC
+        # lets the bench A/B cheaper codecs for intermediate-heavy runs
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config(
             "spark.driver.memory",

@@ -215,10 +215,53 @@ def main() -> None:
         chunk_totals(chunk_replay(sample, "logging", cfg)).collect()
         chunk_time = time.time() - t0
 
+        # training-data ops at corpus scale: documents amplified with a
+        # per-copy word mutation so copies are NOT near-duplicates (dup
+        # clusters stay the corpus's own — pair volume linear in the
+        # factor, the honest way to scale a dedup bench). Times the
+        # linear curation verdict and the MinHash-LSH pair pipeline.
+        docs_amp = int(os.environ.get("SPARK_GRAFT_DOCS_AMPLIFY", "20"))
+        n_docs_amp = 0
+        if docs_amp:
+            from aws_log_ingestion_spark.operators import dedup as DD
+            from aws_log_ingestion_spark.operators import text_analysis as TA
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            kk = F.explode(F.sequence(F.lit(0), F.lit(docs_amp - 1))).alias("k")
+            amp = docs.select("doc_id", "text", "lang", "source", kk).select(
+                (F.col("doc_id") * docs_amp + F.col("k")).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.concat(F.lit(" "), F.col("k").cast("string"), F.lit("q")),
+                ).alias("text"),
+                "lang",
+                "source",
+            )
+            amp.repartition(32).write.mode("overwrite").parquet(f"{work}/docs_amp")
+            docs_df = spark.read.parquet(f"{work}/docs_amp")
+            n_docs_amp = docs_df.count()
+
+            t0 = time.time()
+            TA.curate(docs_df).groupBy("verdict").count().collect()
+            curate_time = time.time() - t0
+
+            t0 = time.time()
+            DD.minhash_lsh_pairs(docs_df, threshold=0.5).count()
+            minhash_time = time.time() - t0
+
+            t0 = time.time()
+            TA.rarity_score(docs_df).agg(F.sum("rarity_sum")).collect()
+            rarity_time = time.time() - t0
+
         tps = n_turns / best["timings"]["job_total"]
         queries = {k: round(v, 3) for k, v in best["timings"].items()}
         queries["chunk_fast_full"] = round(chunk_fast_time, 3)
         queries["chunk_replay_5pct"] = round(chunk_time, 3)
+        if docs_amp:
+            queries["curate_docs_amp"] = round(curate_time, 3)
+            queries["minhash_lsh_docs_amp"] = round(minhash_time, 3)
+            queries["rarity_score_docs_amp"] = round(rarity_time, 3)
         queries["job_total_all_runs"] = [
             round(r["timings"]["job_total"], 1) for r in runs
         ]
@@ -242,6 +285,7 @@ def main() -> None:
                     "queries": queries,
                     "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                     "n_turns": n_turns,
+                    "n_docs_amp": n_docs_amp,
                     "amplify": AMPLIFY,
                     "cpus": cpus,
                     "pinned": os.environ.get("SPARK_GRAFT_PINNED") == "1",
