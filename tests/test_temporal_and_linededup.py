@@ -197,3 +197,17 @@ def test_rarity_score_hand_computed(spark):
     assert got[3].rarity_avg == 4000  # all-rare vocabulary scores highest
     assert (got[4].n_tokens, got[4].rarity_sum, got[4].rarity_avg) == (0, 0, 0)
     assert got[3].rarity_avg > got[2].rarity_avg > got[1].rarity_avg
+
+
+def test_curate_plan_single_exchange(spark):
+    """After the one-pass rewrite, curate must cost exactly ONE shuffle
+    (the content-hash dedup window) — no doc_id re-join may creep back."""
+    import re
+
+    from aws_log_ingestion_spark.operators.text_analysis import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan_of(curate(docs))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
