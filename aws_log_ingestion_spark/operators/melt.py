@@ -59,12 +59,26 @@ def melt_project(
     )
 
     # trace id: decode on marker rows only ('' on failure, NULL on
-    # non-marker rows), forward-fill, then ''->NULL for attachment
+    # non-marker rows), forward-fill, then ''->NULL for attachment.
+    # Split-scan shape: even an input-MASKED udf ships every row through
+    # Arrow (measured ~1us/row = half the logging stage at 5M turns), so
+    # the marker branch is filtered BEFORE the UDF and unioned with the
+    # null-literal rest — the UDF touches only the ~1% marker rows, the
+    # union feeds the window's existing conv_id exchange, and unlike a
+    # broadcast-join of decoded markers this stays linear at 10^12 turns
+    # (no driver-side collect, no broadcast limit). The doubled scan is
+    # columnar + filter-pushed, i.e. ~free next to the Arrow round-trip.
     if decode_traces:
-        traw = trace_id_raw(t, is_nr)
+        is_nr_b = F.coalesce(is_nr, F.lit(False))
+        markers = df.filter(is_nr_b).withColumn(
+            "__trace_raw", trace_id_raw(t, F.lit(True))
+        )
+        rest = df.filter(~is_nr_b).withColumn(
+            "__trace_raw", F.lit(None).cast("string")
+        )
+        df = markers.unionByName(rest)
     else:
-        traw = F.when(is_nr, F.lit(""))
-    df = df.withColumn("__trace_raw", traw)
+        df = df.withColumn("__trace_raw", F.when(is_nr, F.lit("")))
     df = df.withColumn(
         "trace_id", F.nullif(F.last("__trace_raw", ignorenulls=True).over(run), F.lit(""))
     ).drop("__trace_raw")
