@@ -30,6 +30,9 @@ def run_bench(
         SPARK_GRAFT_AMPLIFY=str(amplify),
         SPARK_GRAFT_REPEAT=str(repeat),
     )
+    # the docs-ops section is a throughput benchmark, not part of the
+    # N-vs-4N job; skip it in scaling arms unless explicitly requested
+    env.setdefault("SPARK_GRAFT_DOCS_AMPLIFY", "0")
     if master:
         # e.g. local-cluster[4,8,14336]: real SEPARATE executor JVMs —
         # own heap/GC each, netty shuffle between processes (the faithful
