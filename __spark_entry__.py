@@ -455,6 +455,12 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_quantile_stats(spark, sf_dir):
+    """Exact per-language length percentiles (percentile_disc by rank
+    selection — integer-exact, unlike percentile_cont/approx sketches)."""
+    return text_analysis.quantile_stats(_docs(spark, sf_dir))
+
+
 def q_rarity_score(spark, sf_dir):
     """Inverse-document-frequency rarity scoring — the exact-integer
     analog of perplexity-based quality bucketing."""
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "corpus_stats": q_corpus_stats,
         "boilerplate_stats": q_boilerplate_stats,
+        "quantile_stats": q_quantile_stats,
         "rarity_score": q_rarity_score,
         "key_skew_stats": q_key_skew_stats,
         "asof_enrich": q_asof_enrich,
@@ -1182,6 +1189,21 @@ def _sql_sessionize(gap_ms: int = 86_400_000) -> str:
     )
 
 
+def _sql_quantile_stats(qs=(50, 90, 99)) -> str:
+    picks = ", ".join(
+        f"CAST(MAX(CASE WHEN rn = ({q} * n_docs + 99) // 100 THEN n_chars END) AS BIGINT) AS p{q}_chars"
+        for q in qs
+    )
+    return (
+        "WITH d AS (SELECT doc_id, lang, length(text) AS n_chars FROM documents), "
+        "r AS (SELECT lang, n_chars, "
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n_docs FROM d) "
+        "SELECT lang, CAST(MAX(n_docs) AS BIGINT) AS n_docs, " + picks + " "
+        "FROM r GROUP BY lang"
+    )
+
+
 def _sql_rarity_score() -> str:
     return (
         "WITH norm AS (SELECT doc_id, " + _D_NORM_DOC + " AS t FROM documents), "
@@ -1503,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _sql_tfidf_topk(),
         "corpus_stats": _sql_corpus_stats(),
         "boilerplate_stats": _sql_boilerplate_stats(),
+        "quantile_stats": _sql_quantile_stats(),
         "rarity_score": _sql_rarity_score(),
         "key_skew_stats": _sql_key_skew_stats(),
         "asof_enrich": _sql_asof_enrich(),

@@ -712,3 +712,40 @@ def rarity_score(docs: DataFrame) -> DataFrame:
             .alias("rarity_avg"),
         )
     )
+
+
+def quantile_stats(
+    docs: DataFrame, qs: tuple[int, ...] = (50, 90, 99)
+) -> DataFrame:
+    """Exact discrete percentiles (percentile_disc semantics) of document
+    length per language — the corpus monitoring rollup.  p_q = the value
+    at rank ceil(q/100 * n) in (value, doc_id) order; selecting a fixed
+    rank from the sorted multiset is integer-exact in any engine, unlike
+    interpolating percentile_cont (float) or approx sketches.
+
+    Shapes: one lang window for ranks riding the same exchange as the
+    per-lang counts (count(*) OVER the same partition — no second
+    shuffle, no join), then a map-side-combining groupBy picks the
+    ranked values.  At 100 TB a per-key sort of the full corpus is the
+    honest cost of EXACT percentiles; the approximate path would be a
+    t-digest/approx_percentile (one pass, no sort) traded in the same
+    place.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = (
+        docs.select("doc_id", "lang", F.length("text").alias("n_chars"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(W.partitionBy("lang")))
+    )
+    aggs = [F.max("n_docs").cast("long").alias("n_docs")]
+    for q in qs:
+        # integer ceil — no double division anywhere (engine-portable)
+        rank = F.expr(f"({q} * n_docs + 99) DIV 100")
+        aggs.append(
+            F.max(F.when(F.col("rn") == rank, F.col("n_chars")))
+            .cast("long")
+            .alias(f"p{q}_chars")
+        )
+    return ranked.groupBy("lang").agg(*aggs)

@@ -211,3 +211,16 @@ def test_curate_plan_single_exchange(spark):
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_quantile_stats_hand_computed(spark):
+    from aws_log_ingestion_spark.operators.text_analysis import quantile_stats
+
+    rows = [(i, "x" * (10 * (i + 1)), "en") for i in range(10)]  # 10..100
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = quantile_stats(docs).collect()[0]
+    # percentile_disc over {10..100}: rank ceil(q/100*10)
+    assert (got.lang, got.n_docs) == ("en", 10)
+    assert got.p50_chars == 50   # rank 5
+    assert got.p90_chars == 90   # rank 9
+    assert got.p99_chars == 100  # rank ceil(9.9)=10
