@@ -43,6 +43,22 @@ CHUNK_STATS_SCHEMA = StructType(
 
 _REQUIRED = ["conv_id", "turn_idx", "text", "ts", "sink"]
 _META = ["owner", "log_group", "log_stream_name", "function_name", "invoked_function_arn"]
+# hub-materialised MELT fills (melt.with_melt_fills) — when present and
+# path == 'logging', _with_pos_and_state reuses them instead of paying a
+# second trace-decode UDF pass + refill window
+_FILLS = ["trace_id", "lambda_request_id"]
+
+
+def _select_cols(df: DataFrame, path: str) -> list[str]:
+    cols = [c for c in _REQUIRED + _META if c in df.columns]
+    if "log_group" not in df.columns and "tool" in df.columns:
+        cols.append("tool")  # with_log_group derives log_group from tool
+    if path == "logging" and all(c in df.columns for c in _FILLS):
+        cols += _FILLS
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(f"chunk stage missing columns: {missing}")
+    return cols
 
 
 def _group_stats_factory(path: str, cfg: PipelineConfig):
@@ -216,16 +232,26 @@ def _with_pos_and_state(df: DataFrame, path: str, cfg: PipelineConfig) -> DataFr
         if m in df.columns:
             df = df.withColumn(m, F.first(F.col(m)).over(run))
     if path == "logging":
-        t = F.col("text")
-        traw = trace_id_raw(t, P.is_nr_marker(t))
-        df = df.withColumn(
-            "trace_fill",
-            F.nullif(F.last(traw, ignorenulls=True).over(run), F.lit("")),
-        )
-        rid = F.when(
-            F.col("log_group").startswith(cfg.lambda_prefix), P.extract_request_id(t)
-        )
-        df = df.withColumn("rid_fill", F.last(rid, ignorenulls=True).over(run))
+        if "trace_id" in df.columns and "lambda_request_id" in df.columns:
+            # The hub already materialised the MELT fills (plans/job.py
+            # prepare()): reuse them — no second trace-decode UDF pass,
+            # no refill window. Same values by construction
+            # (melt.with_melt_fills is the same window arithmetic).
+            df = df.withColumn("trace_fill", F.col("trace_id")).withColumn(
+                "rid_fill", F.col("lambda_request_id")
+            )
+        else:
+            t = F.col("text")
+            traw = trace_id_raw(t, P.is_nr_marker(t))
+            df = df.withColumn(
+                "trace_fill",
+                F.nullif(F.last(traw, ignorenulls=True).over(run), F.lit("")),
+            )
+            rid = F.when(
+                F.col("log_group").startswith(cfg.lambda_prefix),
+                P.extract_request_id(t),
+            )
+            df = df.withColumn("rid_fill", F.last(rid, ignorenulls=True).over(run))
     else:
         df = df.withColumn("trace_fill", F.lit(None).cast("string")).withColumn(
             "rid_fill", F.lit(None).cast("string")
@@ -271,13 +297,7 @@ def chunk_replay_salted(
     """
     cfg = cfg or PipelineConfig()
     max_size = cfg.max_payload_size
-    cols = [c for c in _REQUIRED + _META if c in df.columns]
-    if "log_group" not in df.columns and "tool" in df.columns:
-        cols.append("tool")  # with_log_group derives log_group from tool
-    missing = [c for c in _REQUIRED if c not in df.columns]
-    if missing:
-        raise ValueError(f"chunk_replay_salted missing columns: {missing}")
-    staged = _with_pos_and_state(df.select(*cols), path, cfg).drop("ts")
+    staged = _with_pos_and_state(df.select(*_select_cols(df, path)), path, cfg).drop("ts")
 
     # ---- stage 1: per-event cost + per-conv envelope length (Arrow batch)
     cost_cols = [
@@ -446,13 +466,7 @@ def _staged_with_costs(df: DataFrame, path: str, cfg: PipelineConfig):
     columns (functions/jsoncost.py) — no Python anywhere."""
     from ..functions import jsoncost as jc
 
-    cols = [c for c in _REQUIRED + _META if c in df.columns]
-    if "log_group" not in df.columns and "tool" in df.columns:
-        cols.append("tool")
-    missing = [c for c in _REQUIRED if c not in df.columns]
-    if missing:
-        raise ValueError(f"chunk cost pass missing columns: {missing}")
-    staged = _with_pos_and_state(df.select(*cols), path, cfg).drop("ts")
+    staged = _with_pos_and_state(df.select(*_select_cols(df, path)), path, cfg).drop("ts")
     if path == "infra":
         cost = jc.event_cost_infra_expr(
             F.col("text"), F.col("turn_idx"), F.col("ts_millis")
@@ -581,17 +595,57 @@ def chunk_counts_fast(
         costs = [int(c) for c in pdf["__cost"]]
         empty = int(pdf["__empty"].iloc[0])
 
-        def gz_len(lo: int, hi: int) -> int:
-            sub = pdf.iloc[lo:hi]
-            msgs = [_message_for(path, row) for row in sub.itertuples(index=False)]
-            obj, _split = _envelope(first, path, cfg)
-            if path == "infra":
-                entry = json.loads(obj["entry"])
-                entry["logEvents"] = msgs
-                obj = {"context": obj["context"], "entry": json.dumps(entry)}
-            else:
-                obj = [{"common": obj[0]["common"], "logs": msgs}]
-            return len(gzip.compress(json.dumps(obj).encode()))
+        # Pre-serialize each event's message JSON ONCE (VERDICT r3 #6):
+        # ambiguous-band probes then assemble the payload text by string
+        # joins instead of re-dumping the node's whole sub-payload per
+        # probe — the per-probe cost drops from O(sub-payload json.dumps)
+        # to O(sub-payload strlen), removing the O(n log n) re-serialize
+        # over a hot conversation's full text. Bit-exact because
+        # json.dumps joins list elements with ', ' and dict construction
+        # order is stable; for infra the events live inside the
+        # JSON-escaped entry STRING, so each message is escaped once up
+        # front (escaping is per-character: escape(a+b) == escape(a) +
+        # escape(b), and the ', ' joiner escapes to itself).
+        msg_strs = [
+            json.dumps(_message_for(path, row)) for row in pdf.itertuples(index=False)
+        ]
+        obj0, _split = _envelope(first, path, cfg)
+        if path == "infra":
+            entry0 = json.loads(obj0["entry"])
+            entry0["logEvents"] = []
+            tmpl = json.dumps(
+                {"context": obj0["context"], "entry": json.dumps(entry0)}
+            )
+            marker = '\\"logEvents\\": []'
+            parts = [json.dumps(m)[1:-1] for m in msg_strs]
+        else:
+            tmpl = json.dumps([{"common": obj0[0]["common"], "logs": []}])
+            marker = '"logs": []'
+            parts = msg_strs
+
+        if tmpl.count(marker) == 1:
+            pre, post = tmpl.split(marker)
+            head, tail = marker[:-1], marker[-1]  # '..."...": [' and ']'
+
+            def gz_len(lo: int, hi: int) -> int:
+                s = pre + head + ", ".join(parts[lo:hi]) + tail + post
+                return len(gzip.compress(s.encode()))
+
+        else:
+            # envelope metadata happens to contain the marker text
+            # (pathological): fall back to the per-probe re-dump — slower
+            # but identical bytes
+            def gz_len(lo: int, hi: int) -> int:
+                sub = pdf.iloc[lo:hi]
+                msgs = [_message_for(path, row) for row in sub.itertuples(index=False)]
+                obj, _ = _envelope(first, path, cfg)
+                if path == "infra":
+                    entry = json.loads(obj["entry"])
+                    entry["logEvents"] = msgs
+                    obj = {"context": obj["context"], "entry": json.dumps(entry)}
+                else:
+                    obj = [{"common": obj[0]["common"], "logs": msgs}]
+                return len(gzip.compress(json.dumps(obj).encode()))
 
         n_chunks, raw_total = C.count_chunks_fast(costs, empty, max_size, gz_len, ratio)
         return pd.DataFrame(

@@ -34,17 +34,20 @@ from .classify import with_log_group
 from .enrich import with_common_attributes
 
 
-def melt_project(
+def with_melt_fills(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     decode_traces: bool = True,
 ) -> DataFrame:
-    """Flat MELT projection over every turn (unfiltered).
+    """The two ordered conversation fills the MELT payload needs:
+    ``trace_id`` (NR-marker decode, carried forward, ''-clears) and
+    ``lambda_request_id`` (extract gated on the lambda log-group prefix,
+    carried forward) — reference :519-532 and :538-545.
 
-    Expects conv_id, turn_idx, text, tool, ts (+ optional enrichment
-    columns log_group_name/log_stream_name from the broadcast join).
-    ``decode_traces=False`` skips the pandas UDF (for oracle-able runs
-    where no marker is decodable anyway).
+    Factored out of ``melt_project`` so the production plan can compute
+    the fills ONCE during the hub write (whose conv_id exchange they
+    share) and the logging sink becomes a pure projection of hub columns
+    — no second conv_id shuffle+sort over 10^12 turns (BENCH/plans.md).
     """
     cfg = cfg or PipelineConfig()
     if "log_group" not in df.columns:
@@ -86,10 +89,36 @@ def melt_project(
     # request id: extract (search semantics), gate on lambda prefix, fill
     is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
     rid = F.when(is_lambda_group, P.extract_request_id(t))
-    df = df.withColumn(
+    return df.withColumn(
         "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
     )
 
+
+def melt_project(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    decode_traces: bool = True,
+) -> DataFrame:
+    """Flat MELT projection over every turn (unfiltered).
+
+    Expects conv_id, turn_idx, text, tool, ts (+ optional enrichment
+    columns log_group_name/log_stream_name from the broadcast join).
+    ``decode_traces=False`` skips the pandas UDF (for oracle-able runs
+    where no marker is decodable anyway).
+
+    If ``trace_id`` AND ``lambda_request_id`` are already present (the
+    hub materialised them via ``with_melt_fills``) the fills — and their
+    conv_id shuffle+sort — are skipped entirely: the projection is then
+    narrow (zero exchanges), which is what makes the logging sink a pure
+    scan->project->write at 10^12 turns.
+    """
+    cfg = cfg or PipelineConfig()
+    if "log_group" not in df.columns:
+        df = with_log_group(df, cfg)
+    if not ("trace_id" in df.columns and "lambda_request_id" in df.columns):
+        df = with_melt_fills(df, cfg, decode_traces=decode_traces)
+
+    t = F.col("text")
     df = (
         df.withColumn("message", t)
         .withColumn("timestamp", F.unix_millis(F.col("ts").cast("timestamp")))

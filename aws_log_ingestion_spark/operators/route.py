@@ -76,6 +76,11 @@ def infra_union(classified: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     optional reformat apply only to lambda-sink rows.
     """
     cfg = cfg or PipelineConfig()
+    # The hub may carry the MELT fill columns (materialised for the
+    # logging sink); the infra payload is the raw filtered entry and
+    # never attaches them (/root/reference/src/function.py:255-261) —
+    # drop to keep the infra schema (and write bytes) unchanged.
+    classified = classified.drop("trace_id", "lambda_request_id")
     is_lambda = F.col("sink") == SINK_LAMBDA
     keep = ~is_lambda | P.survives_lambda_filter(F.col("text"))
     df = classified.filter(keep)

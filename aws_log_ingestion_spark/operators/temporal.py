@@ -56,6 +56,8 @@ def asof_join(
     (duplicate state timestamps would make "the" latest state ambiguous
     in ANY engine).  ``value_cols`` must not collide with fact columns.
     """
+    if not value_cols:
+        return facts
     clash = set(value_cols) & set(facts.columns)
     if clash:
         raise ValueError(f"value_cols collide with fact columns: {sorted(clash)}")
@@ -69,10 +71,21 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_is_fact").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = [
-        F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in value_cols
+    # Fill ONE struct per state row, not each value column independently:
+    # if a state row legitimately carries NULL in one value column, that
+    # row must still win for ALL columns (every value from the single
+    # latest state row — true as-of semantics, and what DuckDB's native
+    # ASOF JOIN oracle does). Per-column last(ignorenulls) would instead
+    # backfill the NULL column from an OLDER state row (ADVICE r3). The
+    # struct is non-null on every state row, so one fill carries the
+    # whole row; fact rows contribute NULL structs and never interfere.
+    state_struct = F.when(
+        F.col("_is_fact") == 0, F.struct(*[F.col(c) for c in value_cols])
+    )
+    filled_struct = F.last(state_struct, ignorenulls=True).over(w)
+    out_cols = [F.col(c) for c in facts.columns] + [
+        filled_struct[c].alias(c) for c in value_cols
     ]
-    out_cols = [F.col(c) for c in facts.columns] + filled
     return u.select(*out_cols, "_is_fact").filter(F.col("_is_fact") == 1).drop(
         "_is_fact"
     )

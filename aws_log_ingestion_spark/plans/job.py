@@ -28,7 +28,7 @@ from ..operators import checkpoint as ckpt
 from ..operators import chunks as chunk_op
 from ..operators.classify import classify
 from ..operators.enrich import enrich
-from ..operators.melt import melt_project
+from ..operators.melt import melt_project, with_melt_fills
 from ..operators.route import INFRA_SINKS, infra_union, route_counts
 from ..sources.derive import conv_meta_from_events, transcripts_from_events
 
@@ -38,11 +38,22 @@ def prepare(
     conv_meta: DataFrame,
     cfg: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Parse + classify + enrich (the hub DataFrame, pre-materialisation).
+    """Parse + classify + (MELT fills) + enrich — the hub DataFrame.
 
-    fill_request_ids=False: the hub needs no sort — see classify()."""
+    When logging is enabled the hub materialises ``trace_id`` and
+    ``lambda_request_id`` via ``with_melt_fills``: the ordered fill
+    window rides the SAME conv_id exchange the classifier's max-window
+    already pays, so the logging sink (and the chunk cost pass) become
+    pure projections of hub columns — the second 10^12-turn conv_id
+    shuffle+sort the r3 plan paid in the logging stage is gone. Infra
+    sinks drop the two fill columns again (``infra_union``): the
+    reference's infra payload is the raw filtered entry and never
+    carries them (/root/reference/src/function.py:255-261)."""
     cfg = cfg or PipelineConfig()
-    return enrich(classify(transcripts, cfg, fill_request_ids=False), conv_meta)
+    hub = classify(transcripts, cfg, fill_request_ids=False)
+    if cfg.logging_enabled:
+        hub = with_melt_fills(hub, cfg, decode_traces=True)
+    return enrich(hub, conv_meta)
 
 
 def run_pipeline(

@@ -53,13 +53,21 @@ def get_spark(
             import re as _re
 
             m = _re.match(r"local-cluster\[(\d+),(\d+),(\d+)\]", master_env)
-            if m:
-                _n_exec, _exec_cores, mem_mb = (int(x) for x in m.groups())
-                # executor heap fits inside the worker allowance; the
-                # driver only plans/collects, so it keeps a small heap
-                builder = builder.config(
-                    "spark.executor.memory", f"{max(mem_mb - 2048, 1024)}m"
+            if not m:
+                # A malformed string (spaces, 'g' suffix) would silently
+                # leave executors at the 1g default and OOM at bench
+                # scale with no hint why (ADVICE r3) — fail loud instead.
+                raise ValueError(
+                    f"SPARK_GRAFT_MASTER={master_env!r} does not match "
+                    "local-cluster[nExec,coresPerExec,memMB] (memory must "
+                    "be plain MB, no unit suffix)"
                 )
+            _n_exec, _exec_cores, mem_mb = (int(x) for x in m.groups())
+            # executor heap fits inside the worker allowance; the
+            # driver only plans/collects, so it keeps a small heap
+            builder = builder.config(
+                "spark.executor.memory", f"{max(mem_mb - 2048, 1024)}m"
+            )
             repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
             # executor Python workers must import this package
             builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)

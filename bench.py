@@ -62,7 +62,7 @@ from aws_log_ingestion_spark.operators.chunks import (
 )
 from aws_log_ingestion_spark.operators.classify import classify
 from aws_log_ingestion_spark.operators.enrich import enrich
-from aws_log_ingestion_spark.operators.melt import melt_project
+from aws_log_ingestion_spark.operators.melt import melt_project, with_melt_fills
 from aws_log_ingestion_spark.operators.route import infra_union, route_counts
 from aws_log_ingestion_spark.session import get_spark
 from aws_log_ingestion_spark.sources import derive
@@ -139,9 +139,12 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     cpu0 = _tree_cpu_seconds()
 
     t0 = time.time()
-    enrich(classify(t, cfg, fill_request_ids=False), meta).write.mode(
-        "overwrite"
-    ).parquet(f"{out}/classified")
+    # hub materialises the MELT fills (plans/job.py prepare()): the fill
+    # window rides the classifier's conv_id exchange, and the logging
+    # sink below becomes a pure scan->project->write (zero exchanges)
+    enrich(
+        with_melt_fills(classify(t, cfg, fill_request_ids=False), cfg), meta
+    ).write.mode("overwrite").parquet(f"{out}/classified")
     timings["hub_write"] = time.time() - t0
     hub = spark.read.parquet(f"{out}/classified")
 

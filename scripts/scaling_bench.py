@@ -93,7 +93,14 @@ def main() -> None:
     masters_env = os.environ.get("SCALE_MASTERS")
     masters: dict[int, str] = {}
     if masters_env:
-        for lvl, m in zip(levels, masters_env.split(";")):
+        parts = masters_env.split(";")
+        # zip() would silently drop/mispair on a count mismatch and label
+        # a run with the wrong topology (ADVICE r3)
+        assert len(parts) == len(levels), (
+            f"SCALE_MASTERS has {len(parts)} entries but SCALE_LEVELS has "
+            f"{len(levels)} — they must pair 1:1"
+        )
+        for lvl, m in zip(levels, parts):
             masters[lvl] = m
 
     # Interleave the two parallelism levels across rounds so co-tenant CPU

@@ -273,3 +273,73 @@ def test_chunk_counts_fast_matches_exact_replay(
         assert fast[conv_id]["n_chunks"] == exact[conv_id]["n_chunks"], (conv_id, cap)
         assert fast[conv_id]["n_events"] == exact[conv_id]["n_events"]
         assert fast[conv_id]["sink"] == exact[conv_id]["sink"]
+
+
+@pytest.mark.parametrize("cap", [1000, 1000 * 1024])
+def test_chunk_counts_fast_reuses_hub_fills(
+    spark, template_df, template_meta_df, cap
+):
+    """When the hub carries the materialised MELT fills
+    (melt.with_melt_fills), the chunk cost pass reuses them instead of
+    re-running the trace-decode UDF + refill window — results must be
+    IDENTICAL to the recompute path, and the plan must not contain a
+    pandas trace-decode eval."""
+    from aws_log_ingestion_spark.operators.enrich import enrich
+    from aws_log_ingestion_spark.operators.melt import with_melt_fills
+
+    cfg = PipelineConfig(max_payload_size=cap)
+    base = enrich(classify(template_df, cfg), template_meta_df)
+    hub = with_melt_fills(base, cfg)
+    recompute = {
+        r["conv_id"]: r.asDict()
+        for r in chunk_counts_fast(base, "logging", cfg).collect()
+    }
+    reuse_df = chunk_counts_fast(hub, "logging", cfg)
+    reuse = {r["conv_id"]: r.asDict() for r in reuse_df.collect()}
+    assert reuse == recompute
+    # the reuse plan must not pay a second Arrow trace-decode pass
+    plan = reuse_df._jdf.queryExecution().executedPlan().toString()
+    assert "trace_id_raw" not in plan
+
+
+@pytest.mark.parametrize("path", ["infra", "logging"])
+def test_walk_preserialized_assembly_bitexact_on_hostile_text(spark, path):
+    """The pre-serialized string-join payload assembly in
+    chunk_counts_fast's walk must stay bit-identical to whole-object
+    json.dumps under escape-heavy text: unicode (ensure_ascii \\uXXXX),
+    quotes, backslashes, tabs/newlines and control chars — at a tiny cap
+    so the ambiguous gzip band (the only place gz_len runs) is hit."""
+    hostile = [
+        'quote " and \\ backslash \t tab',
+        "unicode é中文\U0001f600 mixed",
+        "control \x01\x02 chars\nnewline",
+        '"logs": [] marker-lookalike text',
+        '\\"logEvents\\": [] escaped-marker lookalike',
+    ]
+    # append deterministic varied CJK junk so gzip can't collapse the
+    # repetition — the payload must genuinely exceed the cap compressed
+    rows = [
+        (
+            "c0",
+            i,
+            "assistant",
+            hostile[i % len(hostile)]
+            + "".join(chr(0x4E00 + (i * 397 + j * 131) % 20000) for j in range(400)),
+            "lambda",
+            1548935491000 + i,
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts_ms long"
+    ).withColumn("ts", (F.col("ts_ms") / 1000).cast("timestamp")).drop("ts_ms")
+    cfg = PipelineConfig(max_payload_size=2000)
+    hub = classify(df, cfg)
+    exact = {r["conv_id"]: r.asDict() for r in chunk_replay(hub, path, cfg).collect()}
+    fast = {
+        r["conv_id"]: r.asDict()
+        for r in chunk_counts_fast(hub, path, cfg).collect()
+    }
+    assert fast["c0"]["n_chunks"] == exact["c0"]["n_chunks"]
+    assert fast["c0"]["n_chunks"] > 1  # the cap actually forced splitting
+    assert fast["c0"]["n_events"] == 40

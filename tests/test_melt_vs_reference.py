@@ -84,3 +84,28 @@ def test_payload_struct_shape(template_df):
 
 def test_melt_is_unfiltered_tee(melted, template_df):
     assert melted.count() == template_df.count()
+
+
+def test_melt_project_on_hub_fills_is_pure_projection(spark, template_df, tmp_path):
+    """Production shape (plans/job.py): the hub materialises trace_id /
+    lambda_request_id via with_melt_fills, and melt_project over that hub
+    must (a) produce byte-identical rows to the self-filling path and
+    (b) compile to a plan with ZERO exchanges and zero window sorts —
+    the logging sink is then a pure scan->project->write at 10^12 turns."""
+    from aws_log_ingestion_spark.operators.melt import with_melt_fills
+
+    # materialise the hub exactly as the job does (parquet write + read):
+    # the logging plan must then be projection-only over the scan
+    with_melt_fills(template_df).write.parquet(str(tmp_path / "hub"))
+    hub = spark.read.parquet(str(tmp_path / "hub"))
+    out = melt_project(hub)
+
+    self_filling = melt_project(template_df)
+    key = lambda d: (d["conv_id"], d["turn_idx"])
+    got = sorted((r.asDict() for r in out.collect()), key=key)
+    want = sorted((r.asDict() for r in self_filling.collect()), key=key)
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan

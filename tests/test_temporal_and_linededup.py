@@ -47,6 +47,28 @@ def test_asof_join_semantics(spark):
     assert out.count() == 5  # left semantics: every fact survives
 
 
+def test_asof_join_null_state_column_comes_from_latest_row(spark):
+    """All value columns must come from the SINGLE latest state row, even
+    when that row carries a legitimate NULL in one of them — per-column
+    independent fills would backfill the NULL from an older state row
+    (ADVICE r3; fixed via the one-struct fill)."""
+    states = spark.createDataFrame(
+        [("c1", 10, "a", "x"), ("c1", 20, None, "y")],
+        "conv_id string, ts_ms long, s1 string, s2 string",
+    )
+    out = asof_join(
+        _facts(spark), states, key="conv_id", ts="ts_ms",
+        value_cols=("s1", "s2"),
+    )
+    got = {(r.conv_id, r.turn_idx): (r.s1, r.s2) for r in out.collect()}
+    # fact at ts=25: latest state is (20, NULL, 'y') -> s1 must be NULL,
+    # NOT 'a' carried from the older ts=10 row
+    assert got[("c1", 3)] == (None, "y")
+    assert got[("c1", 2)] == ("a", "x")
+    assert got[("c1", 1)] == ("a", "x")
+    assert got[("c1", 0)] == (None, None)
+
+
 def test_asof_join_rejects_column_clash(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(
