@@ -450,6 +450,29 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def q_decoded_features(spark, sf_dir):
+    """REAL decoders through the driver gate: deterministic BMP/WAV
+    payloads built from doc_id (multimodal.synth_decodable_media — every
+    pixel/sample a closed-form integer function of doc_id) are decoded
+    by decode_bmp/decode_wav inside decoded_features; the oracle
+    recomputes the same features by pure arithmetic, no codec. A hash
+    match proves the full encode->Arrow->decode->feature path byte-works
+    end-to-end, not just on pytest fixtures (VERDICT r3 #5).
+    Per-feature scalar columns for the same differ reason as
+    q_multimodal_features."""
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    out = multimodal.decoded_features(media)
+    return out.select(
+        "doc_id",
+        "media_type",
+        "decoded",
+        *[
+            F.element_at(F.col("features"), i + 1).cast("long").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     media = multimodal.synth_media(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, every_n_bytes=64)
@@ -566,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "decoded_features": q_decoded_features,
         "frame_sample": q_frame_sample,
     }
 
@@ -1469,6 +1493,40 @@ def _sql_multimodal_resize() -> str:
     )
 
 
+def _sql_decoded_features() -> str:
+    """Codec-free oracle for the real-decode gate: reproduces
+    synth_decodable_media's closed-form pixel/sample values by pure
+    integer arithmetic over generate_series and re-derives the decoded
+    features — bmp: [h, w, (sum_R*100)//(h*w), (sum_G*100)//(h*w)];
+    wav: [n_frames, rate, channels, (sum|s|*100)//(n*ch)]."""
+    return (
+        "WITH bmp AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "bp1 AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM bmp), "
+        "bp2 AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM bp1), "
+        "bsum AS (SELECT doc_id, MAX(h) AS h, MAX(w) AS w, "
+        "SUM((doc_id*7 + r*5 + c*3) % 256) AS sum_r, "
+        "SUM((doc_id*7 + r*5 + c*3 + 11) % 256) AS sum_g "
+        "FROM bp2 GROUP BY doc_id), "
+        "bfeat AS (SELECT doc_id, 'image/bmp' AS media_type, "
+        "CAST(1 AS INT) AS decoded, CAST(h AS BIGINT) AS f0, "
+        "CAST(w AS BIGINT) AS f1, CAST((sum_r*100) // (h*w) AS BIGINT) AS f2, "
+        "CAST((sum_g*100) // (h*w) AS BIGINT) AS f3 FROM bsum), "
+        "wav AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, "
+        "doc_id % 50 + 10 AS n, 8000 + (doc_id % 4) * 4000 AS rate "
+        "FROM documents WHERE doc_id % 2 = 1), "
+        "wp AS (SELECT doc_id, ch, n, rate, unnest(range(0, n*ch)) AS i FROM wav), "
+        "wsum AS (SELECT doc_id, MAX(n) AS n, MAX(ch) AS ch, MAX(rate) AS rate, "
+        "SUM(abs((doc_id*13 + i*7) % 4096 - 2048)) AS sum_abs "
+        "FROM wp GROUP BY doc_id), "
+        "wfeat AS (SELECT doc_id, 'audio/wav' AS media_type, "
+        "CAST(1 AS INT) AS decoded, CAST(n AS BIGINT) AS f0, "
+        "CAST(rate AS BIGINT) AS f1, CAST(ch AS BIGINT) AS f2, "
+        "CAST((sum_abs*100) // (n*ch) AS BIGINT) AS f3 FROM wsum) "
+        "SELECT * FROM bfeat UNION ALL SELECT * FROM wfeat"
+    )
+
+
 def _sql_frame_sample() -> str:
     return (
         "WITH m AS (SELECT doc_id, "
@@ -1533,5 +1591,6 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": _sql_winnow_fingerprint(),
         "multimodal_features": _sql_multimodal_features(),
         "multimodal_resize": _sql_multimodal_resize(),
+        "decoded_features": _sql_decoded_features(),
         "frame_sample": _sql_frame_sample(),
     }

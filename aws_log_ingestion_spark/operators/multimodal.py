@@ -92,6 +92,42 @@ def decode_bmp(payload: bytes):
     return img if top_down else img[::-1]
 
 
+def encode_bmp(img) -> bytes:
+    """Re-encode an (H, W, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (BITMAPINFOHEADER, bottom-up, rows padded to 4 bytes) — the exact
+    inverse of ``decode_bmp`` (decode(encode(img)) == img, pinned by
+    tests/test_media_decode.py)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    row_stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB->BGR
+    pixels = rows.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(pixels), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0,
+    )
+    return header + pixels
+
+
+def resize_nn(img, target_w: int, target_h: int):
+    """Integer nearest-neighbor resize of an (H, W, 3) array: output
+    pixel (r, c) samples source pixel (r*H//target_h, c*W//target_w) —
+    pure integer index arithmetic, bit-deterministic across platforms
+    (no float rounding), the standard decimation used for thumbnailing
+    training images."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    rr = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    cc = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return img[rr][:, cc]
+
+
 def decode_wav(payload: bytes):
     """Real decode of a RIFF/WAVE PCM payload (8- or 16-bit integer PCM)
     — pure struct+numpy chunk walk. Returns (samples[n, channels] int32,
@@ -124,6 +160,81 @@ def decode_wav(payload: bytes):
     return raw[: n_frames * n_channels].astype(np.int32).reshape(
         n_frames, n_channels
     ), sample_rate
+
+
+def encode_wav(samples, rate: int = 8000, bits: int = 16) -> bytes:
+    """Re-encode (n_frames, channels) integer samples as RIFF/WAVE PCM —
+    the exact inverse of ``decode_wav`` for 8/16-bit integer PCM."""
+    import struct
+
+    import numpy as np
+
+    n_frames, ch = samples.shape
+    if bits == 16:
+        data = samples.astype("<i2").tobytes()
+    else:  # 8-bit PCM is unsigned, centred at 128
+        data = (np.asarray(samples) + 128).astype(np.uint8).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+DECODABLE_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synth_decodable_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL media payloads from doc_id alone — the driver-
+    gate input that exercises ``decode_bmp``/``decode_wav`` end-to-end
+    (not just on pytest fixtures). Every pixel/sample is a closed-form
+    integer function of doc_id, so an engine with NO codec can still
+    compute the decoded features exactly (the DuckDB oracle does):
+
+      even doc_id -> 24-bit BMP, W = doc_id%7+2, H = doc_id%5+2,
+        pixel(r, c, channel k) = (doc_id*7 + r*5 + c*3 + k*11) % 256
+      odd doc_id  -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
+        n_frames = doc_id%50+10, rate = 8000 + (doc_id%4)*4000,
+        interleaved sample i = (doc_id*13 + i*7) % 4096 - 2048
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, mts = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    w, h = d % 7 + 2, d % 5 + 2
+                    r = np.arange(h).reshape(h, 1, 1)
+                    c = np.arange(w).reshape(1, w, 1)
+                    k = np.arange(3).reshape(1, 1, 3)
+                    img = ((d * 7 + r * 5 + c * 3 + k * 11) % 256).astype(np.uint8)
+                    payloads.append(encode_bmp(img))
+                    mts.append("image/bmp")
+                else:
+                    ch = (d // 2) % 2 + 1
+                    n = d % 50 + 10
+                    rate = 8000 + (d % 4) * 4000
+                    i = np.arange(n * ch, dtype=np.int64)
+                    s = (d * 13 + i * 7) % 4096 - 2048
+                    payloads.append(encode_wav(s.reshape(n, ch), rate=rate))
+                    mts.append("audio/wav")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": mts, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, DECODABLE_MEDIA_SCHEMA)
 
 
 def decode_media(payload: bytes, media_type: str):
@@ -275,14 +386,16 @@ def decoded_features(media: DataFrame) -> DataFrame:
 
 
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """'Resize' stand-in: real image resize of compressed formats needs a
-    codec (PIL — absent here), so the stub downsamples the payload bytes
-    deterministically by the same area ratio a resize would and rewrites
-    the width/height metadata. The Spark-side contract is the real part:
-    binary in -> binary out through Arrow batches, metadata kept in sync.
-    (BMP payloads could round-trip through decode_bmp for a true resize;
-    the stub stays format-agnostic so every media_type takes one path.)
-    """
+    """Resize through the REAL pixel path where a pure-Python codec
+    exists: ``image/bmp`` payloads decode (``decode_bmp``), resample by
+    integer nearest-neighbor (``resize_nn``) and re-encode
+    (``encode_bmp``) — a true pixel resize, round-trip pinned against a
+    numpy oracle in tests/test_media_decode.py. Compressed formats (and
+    BMPs that fail to parse) keep the deterministic byte-downsample
+    stand-in — same area ratio a resize would apply, metadata rewritten —
+    so one undecodable payload degrades instead of failing the partition.
+    The Spark contract is identical either way: binary in -> binary out
+    through Arrow batches, width/height metadata kept in sync."""
 
     def gen(batches):
         import numpy as np
@@ -290,7 +403,18 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
 
         for pdf in batches:
             out_payload = []
-            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+            for payload, mt, w, h in zip(
+                pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
+            ):
+                if mt == "image/bmp":
+                    try:
+                        img = decode_bmp(bytes(payload))
+                        out_payload.append(
+                            encode_bmp(resize_nn(img, target_w, target_h))
+                        )
+                        continue
+                    except ValueError:
+                        pass  # unparseable BMP -> byte-downsample fallback
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 ratio = max(1, int((int(w) * int(h)) / (target_w * target_h)))
                 out_payload.append(arr[::ratio].tobytes())

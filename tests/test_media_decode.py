@@ -111,3 +111,96 @@ def test_decoded_features_through_spark(spark):
     assert got[1]["features"] == [6.0, 22050.0, 2.0, 300.0]
     assert got[2]["decoded"] == 0
     assert len(got[2]["features"]) == 4  # fake byte-slice fallback ran
+
+
+def test_package_encode_bmp_matches_independent_writer():
+    """The package's vectorized encode_bmp must emit byte-identical BMPs
+    to this file's independent per-pixel writer, and round-trip through
+    decode_bmp exactly."""
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7, 3), (1, 1, 3), (8, 4, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        enc = multimodal.encode_bmp(px)
+        assert enc == encode_bmp(px)
+        assert np.array_equal(multimodal.decode_bmp(enc), px)
+
+
+def test_resize_nn_matches_loop_oracle():
+    """Integer nearest-neighbor sampling vs an explicit per-pixel loop."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+    tw, th = 4, 7
+    got = multimodal.resize_nn(img, tw, th)
+    assert got.shape == (th, tw, 3)
+    for r in range(th):
+        for c in range(tw):
+            assert np.array_equal(got[r, c], img[(r * 10) // th, (c * 6) // tw])
+
+
+def test_resize_media_real_bmp_path_through_spark(spark):
+    """resize_media must do a TRUE pixel resize for image/bmp (decode ->
+    NN sample -> re-encode; output decodes to target dims with pixels
+    equal to the numpy oracle) while non-BMP payloads keep the
+    deterministic byte-downsample fallback."""
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    bmp = encode_bmp(px)
+    png_payload = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
+    rows = [
+        (0, "image/bmp", bytearray(bmp), 11, 9, len(bmp)),
+        (1, "image/png", bytearray(png_payload), 64, 64, len(png_payload)),
+    ]
+    media = spark.createDataFrame(
+        rows, ["doc_id", "media_type", "payload", "width", "height", "n_bytes"]
+    ).select(
+        F.col("doc_id").cast("long"),
+        "media_type",
+        F.col("payload").cast("binary"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.col("n_bytes").cast("long"),
+    )
+    tw, th = 4, 3
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.resize_media(media, target_w=tw, target_h=th).collect()
+    }
+    # BMP: true pixel resize — decode the output payload and compare to
+    # the numpy nearest-neighbor oracle
+    out_img = multimodal.decode_bmp(bytes(got[0]["payload"]))
+    assert out_img.shape == (th, tw, 3)
+    rr = (np.arange(th) * 9) // th
+    cc = (np.arange(tw) * 11) // tw
+    assert np.array_equal(out_img, px[rr][:, cc])
+    assert (got[0]["width"], got[0]["height"]) == (tw, th)
+    # non-BMP: unchanged byte-downsample contract
+    ratio = max(1, int((64 * 64) / (tw * th)))
+    assert bytes(got[1]["payload"]) == png_payload[::ratio]
+    assert got[1]["n_bytes"] == len(png_payload[::ratio])
+
+
+def test_package_encode_wav_matches_independent_writer():
+    rng = np.random.default_rng(14)
+    s16 = rng.integers(-30000, 30000, size=(13, 2), dtype=np.int64)
+    assert multimodal.encode_wav(s16, rate=16000, bits=16) == encode_wav(
+        s16, rate=16000, bits=16
+    )
+    got, rate = multimodal.decode_wav(multimodal.encode_wav(s16, rate=16000))
+    assert rate == 16000 and np.array_equal(got, s16)
+
+
+def test_synth_decodable_media_round_trips(spark):
+    """Every synthesized payload must really decode (decoded=1) with the
+    closed-form features the oracle computes — spot-check one bmp and one
+    wav doc against hand arithmetic."""
+    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_decodable_media(docs)
+    out = {r["doc_id"]: r for r in multimodal.decoded_features(media).collect()}
+    assert all(out[d]["decoded"] == 1 for d in range(8))
+    # doc_id=2 (bmp): w=4, h=4, pixel(r,c,k)=(14+5r+3c+11k)%256
+    sr = sum((14 + 5 * r + 3 * c) % 256 for r in range(4) for c in range(4))
+    sg = sum((14 + 5 * r + 3 * c + 11) % 256 for r in range(4) for c in range(4))
+    assert out[2]["features"] == [4.0, 4.0, float(sr * 100 // 16), float(sg * 100 // 16)]
+    # doc_id=3 (wav): ch=(3//2)%2+1=2, n=3%50+10=13, rate=8000+(3%4)*4000=20000
+    sa = sum(abs((39 + 7 * i) % 4096 - 2048) for i in range(13 * 2))
+    assert out[3]["features"] == [13.0, 20000.0, 2.0, float(sa * 100 // 26)]
