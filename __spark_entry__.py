@@ -892,22 +892,30 @@ def _sql_ann_cosine_topk() -> str:
     )
 
 
-def _sql_ann_lsh(n_queries: int = 5, k: int = 10, n_planes: int = 8) -> str:
+def _sql_ann_lsh(
+    n_queries: int = 5, k: int = 10, n_planes: int = 8, probe_hamming: int = 2
+) -> str:
     # replays lsh_topk's deterministic bucket algorithm exactly: sign
-    # bucket from the leading dims, same-bucket candidates, quantized
+    # bucket from the leading dims, MULTI-PROBE (query bucket XOR each
+    # hamming<=r mask, same list as similarity.probe_masks), quantized
     # cosine, (cos desc, neighbor_id) rank
+    from aws_log_ingestion_spark.operators.similarity import probe_masks
+
     bucket = " + ".join(
         f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
         for i in range(n_planes)
     )
     quant = _D_QUANT.format(COL="embedding")
+    probe_list = ", ".join(str(m) for m in probe_masks(n_planes, probe_hamming))
     return (
         "WITH b AS (SELECT vec_id, " + quant + " AS v, CAST(" + bucket + " AS INT) AS bucket "
         "FROM embeddings), "
         f"q AS (SELECT vec_id AS query_id, v AS qe, bucket AS qb FROM b WHERE vec_id < {n_queries}), "
+        f"qp AS (SELECT query_id, qe, CAST(xor(qb, m) AS INT) AS pb "
+        f"FROM q, unnest([{probe_list}]) t(m)), "
         "c AS (SELECT vec_id AS neighbor_id, v AS ne, bucket AS nb FROM b), "
         "scored AS (SELECT query_id, neighbor_id, " + _D_COS + " AS cos "
-        "FROM c JOIN q ON nb = qb WHERE neighbor_id != query_id), "
+        "FROM c JOIN qp ON nb = pb WHERE neighbor_id != query_id), "
         "ranked AS (SELECT query_id, neighbor_id, "
         "CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank, "
         "CAST(FLOOR(cos * 1000000) AS BIGINT) AS cos_x1e6 FROM scored) "
