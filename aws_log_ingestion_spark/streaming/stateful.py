@@ -119,8 +119,10 @@ MELT_STATE_SCHEMA = StructType(
 )
 
 
-def _melt_fill_func(key, pdfs, state):
-    """Per-conversation carry of (trace raw, request id) in turn order.
+def _melt_fill_factory(passthrough: tuple[str, ...] = ()):
+    """Build the per-conversation carry function for (trace raw, request
+    id) in turn order, emitting ``passthrough`` input columns unchanged
+    alongside the fills.
 
     Trace semantics mirror the batch MELT fill (operators/melt.py:62-70,
     reference /root/reference/src/function.py:519-532): every NR-marker
@@ -130,48 +132,56 @@ def _melt_fill_func(key, pdfs, state):
     (turn_idx <= stored last_turn_idx) are emitted with the current carry
     and do not rewind state, matching ``_fill_func``'s policy.
     """
-    import re
 
-    import pandas as pd
+    def func(key, pdfs, state):
+        import re
 
-    from ..functions.tracing import decode_trace_id_str
+        import pandas as pd
 
-    # LAMBDA_NR_MONITORING_PATTERN.match (reference src/function.py:90):
-    # re.match semantics — anchored at 0, `.` does not cross newlines.
-    nr_re = re.compile(r'.*"NR_LAMBDA_MONITORING')
-    rid_re = re.compile(
-        r"RequestId:\s([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
-        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})"
-    )
-    trace_raw, rid_carry, last_turn = (
-        state.get if state.exists else (None, None, -1)
-    )
+        from ..functions.tracing import decode_trace_id_str
 
-    for pdf in pdfs:
-        pdf = pdf.sort_values("turn_idx")
-        trace_fills, rid_fills = [], []
-        for text, turn in zip(pdf["text"], pdf["turn_idx"]):
-            text = text or ""
-            fresh = turn > last_turn
-            if fresh and nr_re.match(text):
-                trace_raw = decode_trace_id_str(text)  # '' clears the carry
-            m = rid_re.search(text)
-            if fresh and m:
-                rid_carry = m.group(1)
-            if fresh:
-                last_turn = int(turn)
-            trace_fills.append(trace_raw if trace_raw else None)
-            rid_fills.append(rid_carry)
-        yield pd.DataFrame(
-            {
-                "conv_id": key[0],
-                "turn_idx": pdf["turn_idx"].astype("int32"),
-                "trace_id": trace_fills,
-                "lambda_request_id": rid_fills,
-            }
+        # LAMBDA_NR_MONITORING_PATTERN.match (reference src/function.py:90):
+        # re.match semantics — anchored at 0, `.` does not cross newlines.
+        nr_re = re.compile(r'.*"NR_LAMBDA_MONITORING')
+        rid_re = re.compile(
+            r"RequestId:\s([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12})"
+        )
+        trace_raw, rid_carry, last_turn = (
+            state.get if state.exists else (None, None, -1)
         )
 
-    state.update((trace_raw, rid_carry, int(last_turn)))
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            trace_fills, rid_fills = [], []
+            for text, turn in zip(pdf["text"], pdf["turn_idx"]):
+                text = text or ""
+                fresh = turn > last_turn
+                if fresh and nr_re.match(text):
+                    trace_raw = decode_trace_id_str(text)  # '' clears the carry
+                m = rid_re.search(text)
+                if fresh and m:
+                    rid_carry = m.group(1)
+                if fresh:
+                    last_turn = int(turn)
+                trace_fills.append(trace_raw if trace_raw else None)
+                rid_fills.append(rid_carry)
+            out = {
+                "conv_id": key[0],
+                "turn_idx": pdf["turn_idx"].astype("int32"),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            out["trace_id"] = trace_fills
+            out["lambda_request_id"] = rid_fills
+            yield pd.DataFrame(out)
+
+        state.update((trace_raw, rid_carry, int(last_turn)))
+
+    return func
+
+
+_melt_fill_func = _melt_fill_factory()
 
 
 def stateful_melt_fill(stream_df: DataFrame) -> DataFrame:
@@ -188,6 +198,45 @@ def stateful_melt_fill(stream_df: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             _melt_fill_func,
             MELT_OUTPUT_SCHEMA,
+            MELT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_melt_fill_full(stream_df: DataFrame) -> DataFrame:
+    """``stateful_melt_fill`` with the full transcript row passed through
+    (role, text, tool, ts) — the streaming analog of
+    ``melt.with_melt_fills``: downstream ``melt_project`` then runs as a
+    pure per-batch projection, so the composed streaming job matches the
+    batch job per turn even when one conversation spans micro-batches
+    (pinned by tests/test_stateful_streaming.py stream-vs-batch parity).
+
+    NOTE the request-id extract here is NOT yet gated on the lambda
+    log-group prefix (the state function sees only text); the caller
+    masks ``lambda_request_id`` on non-lambda log groups — log_group is
+    conversation-constant, so the post-hoc mask is exactly the batch
+    gate (see stream_job.melt_stream_fills)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    passthrough = ("role", "text", "tool", "ts")
+    fields = [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+    ]
+    in_schema = {f.name: f.dataType for f in stream_df.schema.fields}
+    fields += [StructField(c, in_schema[c]) for c in passthrough]
+    fields += [
+        StructField("trace_id", StringType()),
+        StructField("lambda_request_id", StringType()),
+    ]
+    return (
+        stream_df.select("conv_id", "turn_idx", *passthrough)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _melt_fill_factory(passthrough),
+            StructType(fields),
             MELT_STATE_SCHEMA,
             "append",
             GroupStateTimeout.NoTimeout,

@@ -41,6 +41,67 @@ def make_batch_processor(conv_meta: DataFrame, out_dir: str, cfg: PipelineConfig
     return process
 
 
+def melt_stream_fills(stream: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Cross-batch MELT fills for a transcript stream, batch-gated.
+
+    ``stateful_melt_fill_full`` carries trace/request ids across
+    micro-batch boundaries; the request-id gate on the lambda log-group
+    prefix (reference :538, melt.with_melt_fills) is applied HERE —
+    log_group derives from the conversation-constant ``tool``, so
+    masking the filled column afterwards is exactly equivalent to
+    masking the extract before the fill."""
+    from ..operators.classify import with_log_group
+    from .stateful import stateful_melt_fill_full
+
+    cfg = cfg or PipelineConfig()
+    filled = with_log_group(stateful_melt_fill_full(stream), cfg)
+    from pyspark.sql import functions as F
+
+    return filled.withColumn(
+        "lambda_request_id",
+        F.when(
+            F.col("log_group").startswith(cfg.lambda_prefix),
+            F.col("lambda_request_id"),
+        ),
+    )
+
+
+def run_stream_stateful_logging(
+    spark: SparkSession,
+    input_dir: str,
+    conv_meta: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+):
+    """Logging (MELT) sink with CROSS-BATCH fill state: unlike the plain
+    ``run_stream`` skin (per-invocation semantics — correct when whole
+    conversations arrive in one micro-batch, the reference's model), this
+    composition keeps per-turn parity with the batch job even when one
+    conversation is SPLIT across micro-batches: the stateful stage owns
+    the trace/request-id carry, and each micro-batch's ``melt_project``
+    is then a pure projection (fills already present)."""
+    from ..sources.datagen import to_spark_df  # for schema only
+
+    cfg = cfg or PipelineConfig()
+    schema = to_spark_df(spark, []).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        input_dir
+    )
+    filled = melt_stream_fills(stream, cfg)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        hub = enrich(batch_df, conv_meta)
+        melt_project(hub, cfg).write.mode("append").parquet(f"{out_dir}/logging")
+
+    return (
+        filled.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{out_dir}/_stream_checkpoint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_dir: str,

@@ -192,3 +192,127 @@ def test_windowed_turn_rate_stream_equals_batch(spark, template_df, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == want and len(got) > 0  # flush row's own window never emits
+
+
+def test_stream_stateful_logging_equals_batch_melt_over_3_batch_split(
+    spark, template_df, tmp_path
+):
+    """VERDICT r3 #8: the COMPOSED streaming logging job (stateful
+    cross-batch fills + per-batch pure-projection melt) must equal the
+    batch melt_project per turn — message, timestamp, trace_id AND
+    lambda_request_id — over a 3-micro-batch split that cuts EVERY
+    conversation mid-stream (maxFilesPerTrigger=1, one file per third of
+    each conversation's turns)."""
+    from aws_log_ingestion_spark.config import PipelineConfig
+    from aws_log_ingestion_spark.sources import datagen as dg
+    from aws_log_ingestion_spark.streaming.stream_job import run_stream_stateful_logging
+
+    cfg = PipelineConfig(logging_enabled=True)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    # three files, each holding a CONTIGUOUS turn range of every
+    # conversation (0-1, 2-3, 4+) — no multi-turn conversation is
+    # batch-local, and ranges arrive in turn order (the streaming file
+    # source orders batches by modification time, hence the sleeps; rows
+    # arriving out of turn order are LATE DATA by the operator's stated
+    # policy and are exercised by the dedicated late-row test above)
+    import time as _time
+
+    part_of = (
+        F.when(F.col("turn_idx") < 2, 0).when(F.col("turn_idx") < 4, 1).otherwise(2)
+    )
+    for part in range(3):
+        template_df.filter(part_of == part).coalesce(1).write.mode("append").parquet(
+            in_dir
+        )
+        _time.sleep(1.1)
+
+    rows = dg.all_template_rows()
+    meta = dg.meta_to_spark_df(spark, dg.conv_meta_rows(rows))
+    q = run_stream_stateful_logging(spark, in_dir, meta, out_dir, cfg)
+    q.awaitTermination(180)
+
+    from aws_log_ingestion_spark.operators.enrich import enrich
+    from aws_log_ingestion_spark.operators.melt import melt_project
+
+    cols = [
+        "conv_id", "turn_idx", "message", "timestamp", "trace_id",
+        "lambda_request_id", "attr_role", "attr_tool", "log_group",
+    ]
+    key = lambda d: (d["conv_id"], d["turn_idx"])
+    got = sorted(
+        (
+            {c: r[c] for c in cols}
+            for r in spark.read.parquet(f"{out_dir}/logging").collect()
+        ),
+        key=key,
+    )
+    want = sorted(
+        (
+            {c: r[c] for c in cols}
+            for r in melt_project(enrich(template_df, meta), cfg).collect()
+        ),
+        key=key,
+    )
+    assert got == want
+    # sanity: the split really produced >= 3 micro-batches (progress log)
+    assert len(q.recentProgress) >= 3
+
+
+def test_run_stream_3_conversation_batches_equals_batch_job(spark, tmp_path):
+    """The plain foreachBatch skin under a 3-batch CONVERSATION-ALIGNED
+    split (the reference's model: one invocation carries whole entries)
+    must reproduce the batch job's per-sink counts AND per-turn routed
+    text exactly."""
+    from aws_log_ingestion_spark.config import PipelineConfig
+    from aws_log_ingestion_spark.operators.classify import classify
+    from aws_log_ingestion_spark.operators.enrich import enrich
+    from aws_log_ingestion_spark.operators.route import infra_union
+    from aws_log_ingestion_spark.sources import datagen as dg
+    from aws_log_ingestion_spark.streaming.stream_job import run_stream
+
+    cfg = PipelineConfig(logging_enabled=True)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    rows = dg.all_template_rows()
+    tdf = dg.to_spark_df(spark, rows)
+    meta = dg.meta_to_spark_df(spark, dg.conv_meta_rows(rows))
+    # three files, whole conversations per file (crc32-style bucketing on
+    # the driver side via hash of conv_id string)
+    for part in range(3):
+        tdf.filter(F.abs(F.hash("conv_id")) % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    # force one file per micro-batch
+    schema = dg.to_spark_df(spark, []).schema
+    from aws_log_ingestion_spark.streaming.stream_job import make_batch_processor
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(make_batch_processor(meta, out_dir, cfg))
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3
+
+    hub = enrich(classify(tdf, cfg), meta)
+    key = lambda t: (t[0], t[1], t[2])
+    got_infra = sorted(
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in spark.read.parquet(f"{out_dir}/infra").collect()
+    )
+    want_infra = sorted(
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in infra_union(hub, cfg).collect()
+    )
+    assert got_infra == want_infra
+    got_log = spark.read.parquet(f"{out_dir}/logging").count()
+    assert got_log == tdf.count()
