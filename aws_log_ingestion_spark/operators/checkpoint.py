@@ -90,6 +90,77 @@ def file_lineage(path: str) -> list[dict]:
     return out
 
 
+# --- Iceberg catalog routing (VERDICT r3 #7) -------------------------------
+# Sinks write to Iceberg tables when (a) a SparkCatalog is configured AND
+# (b) the Iceberg runtime jar is actually on the classpath; parquet paths
+# otherwise (this sandbox — no jar — always takes the parquet branch;
+# SURVEY.md §7 licenses the fallback). Detection is split so the branch
+# choice itself is testable without the jar.
+
+ICEBERG_NAMESPACE = os.environ.get("SPARK_GRAFT_ICEBERG_NAMESPACE", "logs")
+
+
+def configured_catalogs(spark) -> list[str]:
+    """Names of catalogs declared via ``spark.sql.catalog.<name>`` conf."""
+    names = set()
+    for k, _v in spark.sparkContext.getConf().getAll():
+        parts = k.split(".")
+        # spark.sql.catalog.<name> exactly (sub-keys like .type have 5+)
+        if len(parts) == 4 and parts[:3] == ["spark", "sql", "catalog"]:
+            names.add(parts[3])
+    return sorted(names)
+
+
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_catalog(spark) -> str | None:
+    """The catalog name sinks should write through, or None for parquet.
+
+    A catalog conf WITHOUT the runtime jar falls back to parquet (loud in
+    the manifest via ``sink_format``) instead of failing every write."""
+    cats = configured_catalogs(spark)
+    if cats and iceberg_available(spark):
+        return cats[0]
+    return None
+
+
+def sink_format(spark) -> dict:
+    """The branch decision, recorded verbatim into stage manifests."""
+    cats = configured_catalogs(spark)
+    cat = iceberg_catalog(spark)
+    return {
+        "format": "iceberg" if cat else "parquet",
+        "catalog": cat,
+        "catalogs_configured": cats,
+        "iceberg_runtime": iceberg_available(spark),
+    }
+
+
+def _write_observed(observed: DataFrame, path: str, stage: str, order_cols) -> dict:
+    """Route one sorted sink write: Iceberg ``writeTo`` when a catalog is
+    usable, parquet path otherwise. Returns the manifest fragment."""
+    spark = observed.sparkSession
+    fmt = sink_format(spark)
+    sorted_df = observed.sortWithinPartitions(*order_cols)
+    if fmt["format"] == "iceberg":
+        table = f"{fmt['catalog']}.{ICEBERG_NAMESPACE}.{stage}"
+        # createOrReplace = one atomic snapshot commit per stage — the
+        # Iceberg analog of the parquet overwrite + manifest record
+        sorted_df.writeTo(table).using("iceberg").createOrReplace()
+        return {**fmt, "table": table}
+    sorted_df.write.mode("overwrite").parquet(path)
+    return {**fmt, "path": path}
+
+
 def observed_write(
     df: DataFrame,
     path: str,
@@ -111,11 +182,14 @@ def observed_write(
 
     obs = Observation(f"obs_{stage}")
     observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    observed.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
+    sink_info = _write_observed(observed, path, stage, order_cols)
     rows = obs.get["rows"]
-    lineage = file_lineage(path)
-    assert sum(e["rows"] for e in lineage) == rows, "lineage/observe count drift"
-    log.record(stage, {"rows": rows, "path": path, "lineage": lineage, **(extra or {})})
+    record = {"rows": rows, **sink_info, **(extra or {})}
+    if sink_info["format"] == "parquet":
+        lineage = file_lineage(path)
+        assert sum(e["rows"] for e in lineage) == rows, "lineage/observe count drift"
+        record["lineage"] = lineage
+    log.record(stage, record)
     return rows
 
 
