@@ -112,6 +112,14 @@ def get_spark(
     java_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTIONS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # arbitrary conf overrides for A/B experiments:
+    #   SPARK_GRAFT_EXTRA_CONF="k1=v1;k2=v2"
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra_env:
+        for kv in extra_env.split(";"):
+            if kv.strip():
+                k, v = kv.split("=", 1)
+                builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
