@@ -50,10 +50,17 @@ def prepare(
     reference's infra payload is the raw filtered entry and never
     carries them (/root/reference/src/function.py:255-261)."""
     cfg = cfg or PipelineConfig()
-    hub = classify(transcripts, cfg, fill_request_ids=False)
+    hub = transcripts
     if cfg.logging_enabled:
+        # Fills FIRST: with_melt_fills unions the marker/rest scan split
+        # and pays the conv_id exchange + (conv_id, turn_idx) sort; the
+        # classifier's unordered max-window then rides the SAME
+        # clustering with no new exchange or sort. The reverse order
+        # duplicates the classify window into both union branches (each
+        # with its own exchange+sort) — 3 exchanges instead of 1
+        # (plan-asserted in scripts/dump_plans.py).
         hub = with_melt_fills(hub, cfg, decode_traces=True)
-    return enrich(hub, conv_meta)
+    return enrich(classify(hub, cfg, fill_request_ids=False), conv_meta)
 
 
 def run_pipeline(

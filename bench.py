@@ -139,11 +139,12 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     cpu0 = _tree_cpu_seconds()
 
     t0 = time.time()
-    # hub materialises the MELT fills (plans/job.py prepare()): the fill
-    # window rides the classifier's conv_id exchange, and the logging
-    # sink below becomes a pure scan->project->write (zero exchanges)
+    # hub materialises the MELT fills (plans/job.py prepare()): fills
+    # FIRST (their window pays the one conv_id exchange), classify's
+    # max-window rides the same clustering, and the logging sink below
+    # becomes a pure scan->project->write (zero exchanges)
     enrich(
-        with_melt_fills(classify(t, cfg, fill_request_ids=False), cfg), meta
+        classify(with_melt_fills(t, cfg), cfg, fill_request_ids=False), meta
     ).write.mode("overwrite").parquet(f"{out}/classified")
     timings["hub_write"] = time.time() - t0
     hub = spark.read.parquet(f"{out}/classified")

@@ -53,20 +53,32 @@ def main() -> None:
 
     sections = {}
 
-    # production hub (no request-fill): classification window needs NO sort
+    # production hub: classify + MELT fills + enrich. The ordered fill
+    # window rides the classifier's conv_id exchange — ONE fact Exchange,
+    # ONE (conv_id, turn_idx) Sort serving both window computations, the
+    # trace decode Arrow UDF on the filtered marker branch, broadcast
+    # enrich. This is the job's ONLY wide stage: logging and the chunk
+    # cost pass downstream are projections of these columns.
     from aws_log_ingestion_spark.plans.job import prepare
 
     hub_df = prepare(t, meta, cfg)
     p = fmt(hub_df)
-    sections["hub: classify(no-fill) + enrich (production job stage 0)"] = p
+    sections["hub: classify + melt fills + enrich (production job stage 0)"] = p
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges == 2, f"expected 2 Exchanges (fact + broadcast build), got {n_exchanges}"
-    # Window exec always groups by partition key, so one Sort remains —
-    # but on conv_id ALONE (no turn_idx), the cheapest grouping order
+    n_sorts = len(re.findall(r"\(\d+\) Sort", p))
+    assert n_sorts == 1, f"one Sort should serve max-window AND fills, got {n_sorts}"
+    assert re.search(r"turn_idx#\d+ ASC", p), "fill window must sort by (conv_id, turn_idx)"
+    assert "ArrowEvalPython" in p, "hub carries the split-scan trace decode"
+    assert "BroadcastHashJoin" in p, "enrich must be a broadcast join"
+
+    # infra-only hub (logging disabled -> no fills): NO sort at all —
+    # the classification max-window needs only conv_id clustering
+    p = fmt(prepare(t, meta, PipelineConfig(logging_enabled=False, infra_enabled=True)))
+    sections["hub without logging (no fills -> sortless window)"] = p
     n_sorts = len(re.findall(r"\(\d+\) Sort", p))
     assert n_sorts == 1, f"no-fill hub should have the conv_id grouping Sort only, got {n_sorts}"
-    assert "[conv_id" in p and "turn_idx ASC" not in p, "no-fill hub must not sort by turn_idx"
-    assert "BroadcastHashJoin" in p, "enrich must be a broadcast join"
+    assert not re.search(r"turn_idx#\d+ ASC", p), "no-fill hub must not sort by turn_idx"
 
     # full classify (with request fill): ONE sort serves both windows
     p = fmt(enrich(classify(t, cfg), meta))
@@ -90,8 +102,18 @@ def main() -> None:
     sections["infra_union (single-pass partitioned sink)"] = p
     assert "Exchange" not in p, "infra_union must be narrow (no shuffle)"
 
+    # hub carries the fills -> the logging sink is a PURE projection:
+    # zero exchanges, zero windows, zero Python (the 10^12-turn property)
     p = fmt(melt_project(hub, cfg))
-    sections["melt_project (MELT projection)"] = p
+    sections["melt_project over the hub (pure projection — the logging sink)"] = p
+    assert "Exchange" not in p, "hub-fed melt must not shuffle"
+    assert "Window" not in p, "hub-fed melt must not re-run fills"
+    assert "ArrowEvalPython" not in p, "hub-fed melt must not re-decode traces"
+
+    # standalone melt (no hub fills): the self-filling path still costs
+    # exactly one conv_id exchange with the Arrow decode on markers only
+    p = fmt(melt_project(spark.read.parquet(f"{work}/t"), cfg))
+    sections["melt_project standalone (self-filling fallback)"] = p
     assert "ArrowEvalPython" in p, "trace decode should be Arrow-vectorized"
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
     assert n_exchanges == 1, f"melt should reuse one conv_id exchange, got {n_exchanges}"
@@ -108,10 +130,12 @@ def main() -> None:
 
     out = ["# Physical plans (judge reference) — generated by scripts/dump_plans.py\n"]
     out.append(
-        "Asserted properties: hub = 1 Exchange + BroadcastHashJoin; sink reads "
-        "push `sink=` filters and prune to read columns; infra_union is "
-        "shuffle-free; MELT uses one conv_id exchange with ArrowEvalPython "
-        "for the trace decode.\n"
+        "Asserted properties: hub = 1 fact Exchange + 1 shared Sort + "
+        "BroadcastHashJoin, carrying the MELT fills and the Arrow trace "
+        "decode (split-scan, markers only); sink reads push `sink=` "
+        "filters and prune to read columns; infra_union is shuffle-free; "
+        "hub-fed MELT is a PURE projection (no Exchange/Window/Python); "
+        "standalone MELT keeps the one-exchange self-filling path.\n"
     )
     for name, plan in sections.items():
         out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
