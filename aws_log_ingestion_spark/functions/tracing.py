@@ -82,3 +82,42 @@ def trace_id_raw(text: Column, is_nr_marker: Column) -> Column:
     that short-circuit — the gzip+json work only touches marker rows.
     """
     return F.when(is_nr_marker, decode_trace_id(F.when(is_nr_marker, text)))
+
+
+_decode_memo_udf = None
+
+
+def decode_trace_id_memo(col: Column) -> Column:
+    """Per-batch MEMOIZED decode for post-window carried marker text.
+
+    The zero-exchange (bucketed-ingest) plan cannot place an Arrow UDF
+    before the fill window — EvalPythonExec reports UnknownPartitioning,
+    which would force back the very exchange bucketing removes. Instead
+    the window carries the latest marker LINE (pure Catalyst last()) and
+    this UDF decodes the carried text AFTER the windows. Consecutive
+    rows of a conversation share the same carried blob, so a per-batch
+    dict memo does ~one real gzip decode per marker while Arrow ships
+    the (heavily repeated, dictionary-encodable) carried strings.
+    NULL in -> NULL out; failed decode -> '' (the reference's clear
+    semantics, same as decode_trace_id)."""
+    global _decode_memo_udf
+    if _decode_memo_udf is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _memo(messages):
+            cache: dict = {}
+
+            def one(s):
+                if s is None:
+                    return None
+                v = cache.get(s)
+                if v is None:
+                    v = cache[s] = decode_trace_id_str(s)
+                return v
+
+            return messages.map(one)
+
+        _memo.__annotations__ = {"messages": pd.Series, "return": pd.Series}
+        _decode_memo_udf = pandas_udf(_memo, "string")
+    return _decode_memo_udf(col)

@@ -38,6 +38,9 @@ def with_melt_fills(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     decode_traces: bool = True,
+    split_scan: bool = True,
+    carry_decode: bool = False,
+    finalize: bool = True,
 ) -> DataFrame:
     """The two ordered conversation fills the MELT payload needs:
     ``trace_id`` (NR-marker decode, carried forward, ''-clears) and
@@ -71,7 +74,31 @@ def with_melt_fills(
     # broadcast-join of decoded markers this stays linear at 10^12 turns
     # (no driver-side collect, no broadcast limit). The doubled scan is
     # columnar + filter-pushed, i.e. ~free next to the Arrow round-trip.
-    if decode_traces:
+    if decode_traces and carry_decode:
+        # ZERO-EXCHANGE shape (bucketed-ingest plan): carry the latest
+        # marker LINE through the fill window (pure Catalyst) and decode
+        # the carried text AFTER every window via decode_carried_traces.
+        # Any pre-window Arrow UDF reports UnknownPartitioning and forces
+        # back the conv_id exchange a bucketed scan just removed; the
+        # post-window placement keeps scan->sort->window->project with no
+        # shuffle at all. Semantics identical to decode-then-carry:
+        # decode is a deterministic function of the marker text, and a
+        # failed decode still yields '' -> NULL (the clear semantics).
+        # With finalize=False the caller may interpose MORE same-key
+        # windows (e.g. classify's max) before decode_carried_traces —
+        # keeping ALL windows adjacent on one clustering.
+        df = df.withColumn(
+            "__trace_carry",
+            F.last(F.when(is_nr, t), ignorenulls=True).over(run),
+        )
+        is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
+        rid = F.when(is_lambda_group, P.extract_request_id(t))
+        df = df.withColumn(
+            "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+        )
+        return decode_carried_traces(df) if finalize else df
+
+    if decode_traces and split_scan:
         is_nr_b = F.coalesce(is_nr, F.lit(False))
         markers = df.filter(is_nr_b).withColumn(
             "__trace_raw", trace_id_raw(t, F.lit(True))
@@ -80,6 +107,16 @@ def with_melt_fills(
             "__trace_raw", F.lit(None).cast("string")
         )
         df = markers.unionByName(rest)
+    elif decode_traces:
+        # split_scan=False: single-scan masked UDF (input masked, so the
+        # gzip work still touches only marker rows, but every row crosses
+        # Arrow — ~1us/row). Use this when the input's physical layout
+        # must be PRESERVED: a UnionExec reports unknown partitioning, so
+        # over a conv_id-bucketed table the split-scan shape would force
+        # the exchange bucketing just removed, while the masked form
+        # keeps the scan's clustering and the fill windows run
+        # exchange-free (bench.py bucketed-input mode).
+        df = df.withColumn("__trace_raw", trace_id_raw(t, is_nr))
     else:
         df = df.withColumn("__trace_raw", F.when(is_nr, F.lit("")))
     df = df.withColumn(
@@ -92,6 +129,21 @@ def with_melt_fills(
     return df.withColumn(
         "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
     )
+
+
+def decode_carried_traces(df: DataFrame) -> DataFrame:
+    """Finish the carry-decode fill: decode the carried marker text into
+    ``trace_id`` (memoized — ~one gzip decode per marker per batch) and
+    drop the carry column. Kept separate from ``with_melt_fills`` so the
+    caller can stack every same-clustering window BEFORE the Arrow node
+    (which would otherwise split the window group and re-introduce an
+    exchange between them)."""
+    from ..functions.tracing import decode_trace_id_memo
+
+    return df.withColumn(
+        "trace_id",
+        F.nullif(decode_trace_id_memo(F.col("__trace_carry")), F.lit("")),
+    ).drop("__trace_carry")
 
 
 def melt_project(

@@ -62,7 +62,11 @@ from aws_log_ingestion_spark.operators.chunks import (
 )
 from aws_log_ingestion_spark.operators.classify import classify
 from aws_log_ingestion_spark.operators.enrich import enrich
-from aws_log_ingestion_spark.operators.melt import melt_project, with_melt_fills
+from aws_log_ingestion_spark.operators.melt import (
+    decode_carried_traces,
+    melt_project,
+    with_melt_fills,
+)
 from aws_log_ingestion_spark.operators.route import infra_union, route_counts
 from aws_log_ingestion_spark.session import get_spark
 from aws_log_ingestion_spark.sources import derive
@@ -79,6 +83,18 @@ AGREE = float(os.environ.get("SPARK_GRAFT_AGREE", "1.2"))
 MAX_REPEAT = int(os.environ.get("SPARK_GRAFT_MAX_REPEAT", "7"))
 
 
+# SPARK_GRAFT_BUCKETED_INPUT=1: materialise the input as a conv_id-
+# BUCKETED table (the production ingest design — an Iceberg table
+# bucketed on conv_id). The hub's window stage then reads co-located
+# conversations and runs with ZERO exchange: the one netty shuffle the
+# random-layout job pays (its whole scaling tax) never happens. This is
+# the north rule's "partitioning is explicit" answer at 10^12 turns —
+# partition once at ingest, reuse the clustering in every stage.
+BUCKETED = os.environ.get("SPARK_GRAFT_BUCKETED_INPUT", "0") == "1"
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
+BENCH_TABLE = "bench_transcripts"
+
+
 def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
     """Derive + amplify transcripts, write once as the bench input table.
 
@@ -93,7 +109,22 @@ def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
             .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_"), F.col("k")))
             .drop("k")
         )
-    t.repartition(64).write.mode("overwrite").parquet(path)
+    if BUCKETED:
+        spark.sql(f"DROP TABLE IF EXISTS {BENCH_TABLE}")
+        (
+            t.repartition(N_BUCKETS, F.col("conv_id"))
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, "conv_id")
+            .sortBy("conv_id", "turn_idx")
+            .saveAsTable(BENCH_TABLE)
+        )
+    else:
+        t.repartition(64).write.mode("overwrite").parquet(path)
+
+
+def read_input(spark, in_path: str):
+    return spark.table(BENCH_TABLE) if BUCKETED else spark.read.parquet(in_path)
 
 
 def _tree_cpu_seconds() -> float:
@@ -135,17 +166,29 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     """One full pipeline run (hub -> infra partitioned write -> logging
     write -> route counts); returns stage timings + counts."""
     timings: dict[str, float] = {}
-    t = spark.read.parquet(in_path)
+    t = read_input(spark, in_path)
     cpu0 = _tree_cpu_seconds()
 
     t0 = time.time()
     # hub materialises the MELT fills (plans/job.py prepare()): fills
     # FIRST (their window pays the one conv_id exchange), classify's
     # max-window rides the same clustering, and the logging sink below
-    # becomes a pure scan->project->write (zero exchanges)
-    enrich(
-        classify(with_melt_fills(t, cfg), cfg, fill_request_ids=False), meta
-    ).write.mode("overwrite").parquet(f"{out}/classified")
+    # becomes a pure scan->project->write (zero exchanges). Bucketed
+    # mode: the scan itself provides the conv_id clustering and the
+    # whole hub runs with ZERO fact-side exchange — carry-decode keeps
+    # the Arrow trace decode AFTER all windows (a pre-window UDF or the
+    # split-scan union would discard the bucketed distribution).
+    if BUCKETED:
+        hub_df = decode_carried_traces(
+            classify(
+                with_melt_fills(t, cfg, carry_decode=True, finalize=False),
+                cfg,
+                fill_request_ids=False,
+            )
+        )
+    else:
+        hub_df = classify(with_melt_fills(t, cfg), cfg, fill_request_ids=False)
+    enrich(hub_df, meta).write.mode("overwrite").parquet(f"{out}/classified")
     timings["hub_write"] = time.time() - t0
     hub = spark.read.parquet(f"{out}/classified")
 
@@ -292,6 +335,7 @@ def main() -> None:
                     "n_docs_amp": n_docs_amp,
                     "amplify": AMPLIFY,
                     "cpus": cpus,
+                    "bucketed_input": BUCKETED,
                     "pinned": os.environ.get("SPARK_GRAFT_PINNED") == "1",
                     "loadavg_start": load_start,
                     "loadavg_end": open("/proc/loadavg").read().split()[:3],

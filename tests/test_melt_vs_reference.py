@@ -109,3 +109,91 @@ def test_melt_project_on_hub_fills_is_pure_projection(spark, template_df, tmp_pa
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_carry_decode_fills_equal_split_scan(spark, template_df):
+    """The carry-then-decode fill (zero-exchange bucketed shape) must be
+    value-identical to the decode-then-carry split-scan fill — decode is
+    a deterministic function of the marker text, so carrying text and
+    decoding the carried value after the window commutes, including the
+    failed-decode '' clear semantics."""
+    from aws_log_ingestion_spark.operators.melt import (
+        decode_carried_traces,
+        with_melt_fills,
+    )
+
+    cols = ["conv_id", "turn_idx", "trace_id", "lambda_request_id"]
+    a = sorted(map(tuple, with_melt_fills(template_df).select(cols).collect()))
+    b = sorted(
+        map(
+            tuple,
+            with_melt_fills(template_df, carry_decode=True).select(cols).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            decode_carried_traces(
+                with_melt_fills(template_df, carry_decode=True, finalize=False)
+            )
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_bucketed_hub_is_exchange_free(spark, template_df, tmp_path):
+    """Over a conv_id-BUCKETED table, the full hub (carry fills +
+    classify + enrich) must plan with ZERO fact-side exchanges: the scan
+    provides the clustering, all three windows stack on one sort, and
+    the trace decode runs after them (bench.py bucketed-input mode — the
+    explicit-partitioning 10^12-turn ingest design)."""
+    import re
+
+    from aws_log_ingestion_spark.config import PipelineConfig
+    from aws_log_ingestion_spark.operators.classify import classify
+    from aws_log_ingestion_spark.operators.enrich import enrich
+    from aws_log_ingestion_spark.operators.melt import (
+        decode_carried_traces,
+        with_melt_fills,
+    )
+    from aws_log_ingestion_spark.sources import datagen as dg
+
+    cfg = PipelineConfig(logging_enabled=True)
+    spark.sql("DROP TABLE IF EXISTS bt_test")
+    (
+        template_df.repartition(4, F.col("conv_id"))
+        .write.option("path", str(tmp_path / "bt"))
+        .bucketBy(4, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .saveAsTable("bt_test")
+    )
+    try:
+        tb = spark.table("bt_test")
+        rows = dg.all_template_rows()
+        meta = dg.meta_to_spark_df(spark, dg.conv_meta_rows(rows))
+        hub = enrich(
+            decode_carried_traces(
+                classify(
+                    with_melt_fills(tb, cfg, carry_decode=True, finalize=False),
+                    cfg,
+                    fill_request_ids=False,
+                )
+            ),
+            meta,
+        )
+        plan = hub._jdf.queryExecution().executedPlan().toString()
+        fact_side = plan.split("BroadcastExchange")[0]
+        assert not re.search(r"\bExchange hashpartitioning", fact_side), fact_side
+        # and it still computes the right thing
+        std = enrich(
+            classify(with_melt_fills(template_df, cfg), cfg, fill_request_ids=False),
+            meta,
+        )
+        cols = ["conv_id", "turn_idx", "sink", "trace_id", "lambda_request_id"]
+        assert sorted(map(tuple, hub.select(cols).collect())) == sorted(
+            map(tuple, std.select(cols).collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_test")
