@@ -74,6 +74,39 @@ def with_melt_fills(
     # broadcast-join of decoded markers this stays linear at 10^12 turns
     # (no driver-side collect, no broadcast limit). The doubled scan is
     # columnar + filter-pushed, i.e. ~free next to the Arrow round-trip.
+    if decode_traces and carry_decode == "marker_join":
+        # BEST-OF-BOTH zero-exchange shape: decode ONLY the ~1% marker
+        # rows in a side branch (Arrow ships 1% of rows, like split-scan)
+        # and LEFT-JOIN the decoded values back on (conv_id, turn_idx).
+        # Over a conv_id-bucketed main side the join co-partitions on the
+        # subset key conv_id (session.py sets
+        # spark.sql.requireAllClusterKeysForCoPartition=false): only the
+        # tiny marker side shuffles, the main side keeps its clustering,
+        # and the fill windows stack exchange-free after the join.
+        is_nr_b = F.coalesce(is_nr, F.lit(False))
+        markers = df.filter(is_nr_b).select(
+            F.col("conv_id").alias("__m_conv"),
+            F.col("turn_idx").alias("__m_turn"),
+            trace_id_raw(t, F.lit(True)).alias("__trace_raw"),
+        )
+        df = df.join(
+            markers,
+            (F.col("conv_id") == F.col("__m_conv"))
+            & (F.col("turn_idx") == F.col("__m_turn")),
+            "left",
+        ).drop("__m_conv", "__m_turn")
+        df = df.withColumn(
+            "trace_id",
+            F.nullif(
+                F.last("__trace_raw", ignorenulls=True).over(run), F.lit("")
+            ),
+        ).drop("__trace_raw")
+        is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
+        rid = F.when(is_lambda_group, P.extract_request_id(t))
+        return df.withColumn(
+            "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+        )
+
     if decode_traces and carry_decode:
         # ZERO-EXCHANGE shape (bucketed-ingest plan): carry the latest
         # marker LINE through the fill window (pure Catalyst) and decode

@@ -87,6 +87,11 @@ def get_spark(
         # advisory 64MB collapses small-but-CPU-heavy shuffles)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.session.timeZone", "UTC")
+        # subset-key co-partitioning (pre-3.3 behavior): a side already
+        # hash-clustered on conv_id satisfies a join on
+        # (conv_id, turn_idx) without re-shuffling — the bucketed-ingest
+        # marker-join fill depends on this (operators/melt.py)
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batches feed the two pandas UDFs; 10k rows balances Python
         # worker latency against per-batch memory for long text columns.

@@ -179,12 +179,16 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     # the Arrow trace decode AFTER all windows (a pre-window UDF or the
     # split-scan union would discard the bucketed distribution).
     if BUCKETED:
-        hub_df = decode_carried_traces(
-            classify(
-                with_melt_fills(t, cfg, carry_decode=True, finalize=False),
-                cfg,
-                fill_request_ids=False,
-            )
+        # marker_join: Arrow decodes only the ~1% marker rows (side
+        # branch), joined back co-partitioned — zero fact exchange AND
+        # no full-corpus Arrow round-trip (carry_decode=True pays
+        # ~1.4us/row shipping every carried string; measured +14 CPU-s
+        # at 10M turns — the difference between the two zero-exchange
+        # shapes, decisive at narrow width)
+        hub_df = classify(
+            with_melt_fills(t, cfg, carry_decode="marker_join"),
+            cfg,
+            fill_request_ids=False,
         )
     else:
         hub_df = classify(with_melt_fills(t, cfg), cfg, fill_request_ids=False)

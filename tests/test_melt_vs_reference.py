@@ -140,7 +140,15 @@ def test_carry_decode_fills_equal_split_scan(spark, template_df):
             .collect(),
         )
     )
-    assert a == b == c
+    d = sorted(
+        map(
+            tuple,
+            with_melt_fills(template_df, carry_decode="marker_join")
+            .select(cols)
+            .collect(),
+        )
+    )
+    assert a == b == c == d
 
 
 def test_bucketed_hub_is_exchange_free(spark, template_df, tmp_path):
@@ -174,12 +182,10 @@ def test_bucketed_hub_is_exchange_free(spark, template_df, tmp_path):
         rows = dg.all_template_rows()
         meta = dg.meta_to_spark_df(spark, dg.conv_meta_rows(rows))
         hub = enrich(
-            decode_carried_traces(
-                classify(
-                    with_melt_fills(tb, cfg, carry_decode=True, finalize=False),
-                    cfg,
-                    fill_request_ids=False,
-                )
+            classify(
+                with_melt_fills(tb, cfg, carry_decode="marker_join"),
+                cfg,
+                fill_request_ids=False,
             ),
             meta,
         )
