@@ -195,17 +195,18 @@ Counts equal at both levels: {results[n_small]["sink_counts"] == results[n_big][
 {lbl_small}: {results[n_small]["queries"]["chunk_replay_5pct"]:.1f}s.
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    target = os.path.join(REPO, "BENCH", "BASELINE.md")
-    # SCALE_SECTION=<title>: append as a secondary section (e.g. the
-    # stated local[8]/local[32] pair next to the pinned 2/8 headline)
-    section = os.environ.get("SCALE_SECTION")
-    if section:
-        body = "\n\n---\n\n# " + section + "\n" + md.split("\n", 1)[1]
-        with open(target, "a") as f:
-            f.write(body)
-    else:
-        with open(target, "w") as f:
-            f.write(md)
+    # Raw generated reports ACCUMULATE in BENCH/scaling_runs.md;
+    # BENCH/BASELINE.md is the hand-curated summary (a past default-run
+    # overwrote its three-pair evidence table — never clobber it again).
+    target = os.path.join(REPO, "BENCH", "scaling_runs.md")
+    # SCALE_SECTION=<title> labels this campaign in the run log
+    section = os.environ.get("SCALE_SECTION") or (
+        f"Campaign {datetime.date.today().isoformat()}: "
+        f"{lbl_small} vs {lbl_big}"
+    )
+    body = "\n\n---\n\n# " + section + "\n" + md.split("\n", 1)[1]
+    with open(target, "a") as f:
+        f.write(body)
     print(md)
 
 
