@@ -2,12 +2,13 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched ``mapInPandas``. Decode
-is REAL for the two uncompressed container formats a pure-Python parser
-can handle — BMP (24-bit BI_RGB) and WAV (8/16-bit integer PCM), see
-``decode_bmp``/``decode_wav`` — while compressed formats (png/jpeg/mp4)
-still raise NotImplementedError because their codecs (PIL/ffmpeg) are
-not in this container; the deterministic fake extractor stands in for
-those. The Spark-side plumbing (schema, batch iteration, partitioning,
+is REAL for the three formats a pure-Python parser can handle — BMP
+(24-bit BI_RGB), WAV (8/16-bit integer PCM) and PNG (8-bit gray/RGB/
+palette/alpha via stdlib zlib + numpy unfiltering), see ``decode_bmp``/
+``decode_wav``/``decode_png`` — while formats whose codecs genuinely
+need external libraries (jpeg's DCT+Huffman, mp4's video codecs) still
+raise NotImplementedError; the deterministic fake extractor stands in
+for those. The Spark-side plumbing (schema, batch iteration, partitioning,
 UDF signatures) is identical either way, which is the part that matters
 for the 100 TB design: binary columns stream through Arrow without
 driver materialisation, and the extractor is a per-batch generator so
@@ -114,6 +115,137 @@ def encode_bmp(img) -> bytes:
     return header + pixels
 
 
+def decode_png(payload: bytes):
+    """Real decode of an 8-bit-depth non-interlaced PNG — pure stdlib
+    ``zlib`` inflate + numpy scanline unfiltering, no codec library.
+    Supports color types 0 (gray), 2 (RGB), 3 (palette -> RGB), 4
+    (gray+alpha) and 6 (RGBA); all five PNG row filters (None/Sub/Up/
+    Average/Paeth). Returns an (H, W, C) uint8 array (palette images
+    expand to C=3). Raises ValueError on anything else (16-bit depth,
+    Adam7 interlace, truncated/corrupt streams) so callers' per-row
+    fallback isolation keeps working.
+
+    Filters None/Up are whole-row numpy ops and Sub is a modular cumsum,
+    so payloads from ``encode_png`` (filter 0) decode at array speed;
+    Average/Paeth rows fall back to a per-pixel loop (the reconstruction
+    is inherently sequential in the left neighbor)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or not (w and h):
+        raise ValueError(
+            f"unsupported PNG: depth={depth} comp={comp} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG deflate stream: {exc}") from None
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad PNG scanline geometry")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f, row = int(lines[y, 0]), lines[y, 1:]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: recon[x] = row[x] + recon[x-bpp] == mod-256 cumsum
+            rec = np.cumsum(
+                row.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up (uint8 addition wraps mod 256, per spec)
+            rec = row + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in the left pixel
+            rec = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        img = pal[idx]
+    return img
+
+
+def encode_png(img) -> bytes:
+    """Re-encode an (H, W[, C]) uint8 array as an 8-bit non-interlaced
+    PNG (filter 0 on every row, one zlib IDAT) — the inverse of
+    ``decode_png`` (decode(encode(img)) == img, pinned by
+    tests/test_media_decode.py). C of 1/2/3/4 maps to color type
+    0/4/2/6."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    lines = np.zeros((h, w * c + 1), dtype=np.uint8)
+    lines[:, 1:] = img.reshape(h, w * c)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nn(img, target_w: int, target_h: int):
     """Integer nearest-neighbor resize of an (H, W, 3) array: output
     pixel (r, c) samples source pixel (r*H//target_h, c*W//target_w) —
@@ -199,11 +331,14 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
     integer function of doc_id, so an engine with NO codec can still
     compute the decoded features exactly (the DuckDB oracle does):
 
-      even doc_id -> 24-bit BMP, W = doc_id%7+2, H = doc_id%5+2,
+      doc_id%3==0 -> 24-bit BMP, W = doc_id%7+2, H = doc_id%5+2,
         pixel(r, c, channel k) = (doc_id*7 + r*5 + c*3 + k*11) % 256
-      odd doc_id  -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
+      doc_id%3==1 -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
         n_frames = doc_id%50+10, rate = 8000 + (doc_id%4)*4000,
         interleaved sample i = (doc_id*13 + i*7) % 4096 - 2048
+      doc_id%3==2 -> 8-bit PNG (RGB when (doc_id//3)%2==0 else RGBA),
+        W = doc_id%6+2, H = doc_id%4+2,
+        pixel(r, c, channel k) = (doc_id*11 + r*3 + c*7 + k*5) % 256
     """
 
     def gen(batches):
@@ -214,7 +349,7 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
             payloads, mts = [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                if d % 2 == 0:
+                if d % 3 == 0:
                     w, h = d % 7 + 2, d % 5 + 2
                     r = np.arange(h).reshape(h, 1, 1)
                     c = np.arange(w).reshape(1, w, 1)
@@ -222,7 +357,7 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
                     img = ((d * 7 + r * 5 + c * 3 + k * 11) % 256).astype(np.uint8)
                     payloads.append(encode_bmp(img))
                     mts.append("image/bmp")
-                else:
+                elif d % 3 == 1:
                     ch = (d // 2) % 2 + 1
                     n = d % 50 + 10
                     rate = 8000 + (d % 4) * 4000
@@ -230,6 +365,15 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
                     s = (d * 13 + i * 7) % 4096 - 2048
                     payloads.append(encode_wav(s.reshape(n, ch), rate=rate))
                     mts.append("audio/wav")
+                else:
+                    w, h = d % 6 + 2, d % 4 + 2
+                    nch = 3 if (d // 3) % 2 == 0 else 4
+                    r = np.arange(h).reshape(h, 1, 1)
+                    c = np.arange(w).reshape(1, w, 1)
+                    k = np.arange(nch).reshape(1, 1, nch)
+                    img = ((d * 11 + r * 3 + c * 7 + k * 5) % 256).astype(np.uint8)
+                    payloads.append(encode_png(img))
+                    mts.append("image/png")
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_type": mts, "payload": payloads}
             )
@@ -238,18 +382,21 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Codec dispatch. REAL for the two uncompressed container formats a
-    pure-Python parser can handle (image/bmp -> (H, W, 3) uint8 RGB;
-    audio/wav -> (samples[n, ch] int32, rate)); compressed formats (png/
-    jpeg/mp4...) still raise NotImplementedError — those genuinely need
-    codec libraries this container doesn't ship (PIL / ffmpeg)."""
+    """Codec dispatch. REAL for the three formats a pure-Python parser
+    can handle (image/bmp -> (H, W, 3) uint8 RGB; image/png -> (H, W, C)
+    uint8 via stdlib zlib; audio/wav -> (samples[n, ch] int32, rate));
+    jpeg/mp4 still raise NotImplementedError — DCT+Huffman / video
+    codecs genuinely need libraries this container doesn't ship
+    (PIL / ffmpeg)."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
+    if media_type == "image/png":
+        return decode_png(payload)
     if media_type == "audio/wav":
         return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
-        "bmp/wav decode is real, others use fake_features()"
+        "bmp/png/wav decode is real, others use fake_features()"
     )
 
 
@@ -317,7 +464,8 @@ DECODED_SCHEMA = StructType(
 def decoded_features(media: DataFrame) -> DataFrame:
     """Feature extraction through the REAL decoders where one exists.
 
-    image/bmp -> [height, width, floor(mean_R*100), floor(mean_G*100)];
+    image/bmp, image/png -> [height, width, floor(mean_ch0*100),
+    floor(mean_ch1*100)] (gray PNGs repeat channel 0);
     audio/wav -> [n_frames, sample_rate, n_channels, floor(mean|x|*100)].
     Payloads with no pure-Python codec (or that fail to parse) fall back
     to the deterministic byte-slice features with decoded=0, so one bad
@@ -347,16 +495,17 @@ def decoded_features(media: DataFrame) -> DataFrame:
                     )
                     continue
                 decoded.append(1)
-                if mt == "image/bmp":
+                if mt in ("image/bmp", "image/png"):
                     img = obj
                     h, w = img.shape[0], img.shape[1]
+                    c1 = min(1, img.shape[2] - 1)  # gray PNGs: ch0 twice
                     n = h * w
                     feats.append(
                         [
                             float(h),
                             float(w),
                             float(int(img[:, :, 0].astype(np.int64).sum()) * 100 // n),
-                            float(int(img[:, :, 1].astype(np.int64).sum()) * 100 // n),
+                            float(int(img[:, :, c1].astype(np.int64).sum()) * 100 // n),
                         ]
                     )
                 else:  # audio/wav
@@ -387,11 +536,12 @@ def decoded_features(media: DataFrame) -> DataFrame:
 
 def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
     """Resize through the REAL pixel path where a pure-Python codec
-    exists: ``image/bmp`` payloads decode (``decode_bmp``), resample by
-    integer nearest-neighbor (``resize_nn``) and re-encode
-    (``encode_bmp``) — a true pixel resize, round-trip pinned against a
-    numpy oracle in tests/test_media_decode.py. Compressed formats (and
-    BMPs that fail to parse) keep the deterministic byte-downsample
+    exists: ``image/bmp`` and ``image/png`` payloads decode
+    (``decode_bmp``/``decode_png``), resample by integer nearest-neighbor
+    (``resize_nn``, channel-count agnostic) and re-encode with the
+    matching encoder — a true pixel resize, round-trip pinned against a
+    numpy oracle in tests/test_media_decode.py. Codec-less formats (and
+    images that fail to parse) keep the deterministic byte-downsample
     stand-in — same area ratio a resize would apply, metadata rewritten —
     so one undecodable payload degrades instead of failing the partition.
     The Spark contract is identical either way: binary in -> binary out
@@ -406,15 +556,18 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
             for payload, mt, w, h in zip(
                 pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
             ):
-                if mt == "image/bmp":
+                if mt in ("image/bmp", "image/png"):
                     try:
-                        img = decode_bmp(bytes(payload))
-                        out_payload.append(
-                            encode_bmp(resize_nn(img, target_w, target_h))
-                        )
+                        if mt == "image/bmp":
+                            img = decode_bmp(bytes(payload))
+                            enc = encode_bmp
+                        else:
+                            img = decode_png(bytes(payload))
+                            enc = encode_png
+                        out_payload.append(enc(resize_nn(img, target_w, target_h)))
                         continue
                     except ValueError:
-                        pass  # unparseable BMP -> byte-downsample fallback
+                        pass  # unparseable image -> byte-downsample fallback
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 ratio = max(1, int((int(w) * int(h)) / (target_w * target_h)))
                 out_payload.append(arr[::ratio].tobytes())

@@ -1,4 +1,4 @@
-"""Real media decode: pure-Python BMP/WAV parsers against fixtures built
+"""Real media decode: pure-Python BMP/WAV/PNG parsers against fixtures built
 independently (struct-packed here, byte by byte, per the public format
 specs) — known pixel/sample values must round-trip exactly, and the
 decoded_features operator must run them through Spark's mapInPandas with
@@ -83,14 +83,20 @@ def test_decode_media_dispatch():
     assert multimodal.decode_media(encode_bmp(px), "image/bmp").shape == (2, 2, 3)
     s = np.zeros((4, 1), dtype=np.int64)
     assert multimodal.decode_media(encode_wav(s), "audio/wav")[1] == 8000
-    with pytest.raises(NotImplementedError):
+    gx = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert multimodal.decode_media(
+        multimodal.encode_png(gx), "image/png"
+    ).shape == (2, 2, 3)
+    with pytest.raises(ValueError):  # bad signature -> fallback isolation
         multimodal.decode_media(b"\x89PNG....", "image/png")
+    with pytest.raises(NotImplementedError):  # genuinely codec-less format
+        multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
 
 
 def test_decoded_features_through_spark(spark):
     """End-to-end through mapInPandas: real BMP/WAV rows decode (with
-    exact known features), a png row falls back to byte-slice features
-    with decoded=0 instead of failing the partition."""
+    exact known features), a CORRUPT png row falls back to byte-slice
+    features with decoded=0 instead of failing the partition."""
     px = np.zeros((3, 4, 3), dtype=np.uint8)
     px[:, :, 0] = 200  # R plane constant -> mean_R*100 == 20000
     px[:, :, 1] = 7
@@ -137,18 +143,138 @@ def test_resize_nn_matches_loop_oracle():
             assert np.array_equal(got[r, c], img[(r * 10) // th, (c * 6) // tw])
 
 
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_filtered(pixels: np.ndarray, filters, palette: bytes | None = None) -> bytes:
+    """Independent PNG writer (per the public spec, no shared code with
+    the package decoder): forward-filters row y with filters[y % len]
+    using plain per-pixel integer arithmetic, then zlib-compresses one
+    IDAT. ``palette`` switches to color type 3 (pixels = (H, W) indices).
+    Exercises every filter type the decoder must invert."""
+    import zlib
+
+    if palette is not None:
+        h, w = pixels.shape
+        c, ctype = 1, 3
+        flat = pixels.reshape(h, w).astype(np.int64)
+    else:
+        h, w, c = pixels.shape
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+        flat = pixels.reshape(h, w * c).astype(np.int64)
+    stride, bpp = w * c, c
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = flat[y]
+        out = bytearray([f])
+        for x in range(stride):
+            a = int(row[x - bpp]) if x >= bpp else 0  # left (original)
+            b = int(prev[x])  # up (original)
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                pp = a + b - cc
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            out.append((int(row[x]) - pred) % 256)
+        raw += out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", palette)
+    import zlib as _z
+
+    return body + _png_chunk(b"IDAT", _z.compress(bytes(raw), 9)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_all_color_types():
+    """Package encode_png -> decode_png must be identity for gray,
+    gray+alpha, RGB and RGBA."""
+    rng = np.random.default_rng(21)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(6, 5, c), dtype=np.uint8)
+        out = multimodal.decode_png(multimodal.encode_png(px))
+        assert out.shape == (6, 5, c)
+        assert np.array_equal(out, px)
+    gray2d = rng.integers(0, 256, size=(4, 9), dtype=np.uint8)  # 2-D input
+    assert np.array_equal(
+        multimodal.decode_png(multimodal.encode_png(gray2d))[:, :, 0], gray2d
+    )
+
+
+def test_png_decoder_inverts_every_filter_type():
+    """Decode PNGs written by the INDEPENDENT writer with each filter
+    type on its own and all five interleaved — the unfilter math (Sub
+    cumsum, Up row-add, Average/Paeth pixel loops) must reconstruct the
+    original pixels exactly."""
+    rng = np.random.default_rng(22)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = multimodal.decode_png(encode_png_filtered(px, filters))
+        assert np.array_equal(got, px), f"filters={filters}"
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_png(encode_png_filtered(rgba, [4, 3, 1, 2])), rgba
+    )
+
+
+def test_png_palette_expands_to_rgb():
+    palette = bytes(range(48))  # 16 entries of (r, g, b)
+    idx = np.array([[0, 3, 15], [7, 7, 1]], dtype=np.uint8)
+    got = multimodal.decode_png(encode_png_filtered(idx, [0, 2], palette=palette))
+    expect = np.frombuffer(palette, dtype=np.uint8).reshape(16, 3)[idx]
+    assert got.shape == (2, 3, 3)
+    assert np.array_equal(got, expect)
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    good = multimodal.encode_png(px)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\nnot chunks")
+    with pytest.raises(ValueError):  # corrupt deflate stream
+        multimodal.decode_png(good[:-20] + b"\x00" * 20)
+    depth16 = bytearray(encode_png_filtered(px, [0]))
+    depth16[24] = 16  # IHDR bit-depth byte
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(depth16))
+
+
 def test_resize_media_real_bmp_path_through_spark(spark):
-    """resize_media must do a TRUE pixel resize for image/bmp (decode ->
-    NN sample -> re-encode; output decodes to target dims with pixels
-    equal to the numpy oracle) while non-BMP payloads keep the
-    deterministic byte-downsample fallback."""
+    """resize_media must do a TRUE pixel resize for image/bmp AND
+    image/png (decode -> NN sample -> re-encode; output decodes to
+    target dims with pixels equal to the numpy oracle) while corrupt or
+    codec-less payloads keep the deterministic byte-downsample
+    fallback."""
     rng = np.random.default_rng(13)
     px = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
     bmp = encode_bmp(px)
+    png_px = rng.integers(0, 256, size=(8, 10, 4), dtype=np.uint8)  # RGBA
+    png = multimodal.encode_png(png_px)
     png_payload = bytes(rng.integers(0, 256, size=4096, dtype=np.uint8))
     rows = [
         (0, "image/bmp", bytearray(bmp), 11, 9, len(bmp)),
         (1, "image/png", bytearray(png_payload), 64, 64, len(png_payload)),
+        (2, "image/png", bytearray(png), 10, 8, len(png)),
     ]
     media = spark.createDataFrame(
         rows, ["doc_id", "media_type", "payload", "width", "height", "n_bytes"]
@@ -173,10 +299,16 @@ def test_resize_media_real_bmp_path_through_spark(spark):
     cc = (np.arange(tw) * 11) // tw
     assert np.array_equal(out_img, px[rr][:, cc])
     assert (got[0]["width"], got[0]["height"]) == (tw, th)
-    # non-BMP: unchanged byte-downsample contract
+    # corrupt png: unchanged byte-downsample contract
     ratio = max(1, int((64 * 64) / (tw * th)))
     assert bytes(got[1]["payload"]) == png_payload[::ratio]
     assert got[1]["n_bytes"] == len(png_payload[::ratio])
+    # real png: true pixel resize, alpha channel preserved
+    out_png = multimodal.decode_png(bytes(got[2]["payload"]))
+    assert out_png.shape == (th, tw, 4)
+    rr = (np.arange(th) * 8) // th
+    cc = (np.arange(tw) * 10) // tw
+    assert np.array_equal(out_png, png_px[rr][:, cc])
 
 
 def test_package_encode_wav_matches_independent_writer():
@@ -191,16 +323,29 @@ def test_package_encode_wav_matches_independent_writer():
 
 def test_synth_decodable_media_round_trips(spark):
     """Every synthesized payload must really decode (decoded=1) with the
-    closed-form features the oracle computes — spot-check one bmp and one
-    wav doc against hand arithmetic."""
-    docs = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    closed-form features the oracle computes — spot-check one doc of each
+    format against hand arithmetic."""
+    docs = spark.range(0, 9).select(F.col("id").alias("doc_id"))
     media = multimodal.synth_decodable_media(docs)
+    mts = {r["doc_id"]: r["media_type"] for r in media.collect()}
+    assert [mts[d] for d in range(6)] == [
+        "image/bmp", "audio/wav", "image/png",
+        "image/bmp", "audio/wav", "image/png",
+    ]
     out = {r["doc_id"]: r for r in multimodal.decoded_features(media).collect()}
-    assert all(out[d]["decoded"] == 1 for d in range(8))
-    # doc_id=2 (bmp): w=4, h=4, pixel(r,c,k)=(14+5r+3c+11k)%256
-    sr = sum((14 + 5 * r + 3 * c) % 256 for r in range(4) for c in range(4))
-    sg = sum((14 + 5 * r + 3 * c + 11) % 256 for r in range(4) for c in range(4))
-    assert out[2]["features"] == [4.0, 4.0, float(sr * 100 // 16), float(sg * 100 // 16)]
-    # doc_id=3 (wav): ch=(3//2)%2+1=2, n=3%50+10=13, rate=8000+(3%4)*4000=20000
-    sa = sum(abs((39 + 7 * i) % 4096 - 2048) for i in range(13 * 2))
-    assert out[3]["features"] == [13.0, 20000.0, 2.0, float(sa * 100 // 26)]
+    assert all(out[d]["decoded"] == 1 for d in range(9))
+    # doc_id=3 (bmp): w=3%7+2=5, h=3%5+2=5, pixel(r,c,k)=(21+5r+3c+11k)%256
+    sr = sum((21 + 5 * r + 3 * c) % 256 for r in range(5) for c in range(5))
+    sg = sum((21 + 5 * r + 3 * c + 11) % 256 for r in range(5) for c in range(5))
+    assert out[3]["features"] == [5.0, 5.0, float(sr * 100 // 25), float(sg * 100 // 25)]
+    # doc_id=4 (wav): ch=(4//2)%2+1=1, n=4%50+10=14, rate=8000+(4%4)*4000=8000
+    sa = sum(abs((52 + 7 * i) % 4096 - 2048) for i in range(14))
+    assert out[4]["features"] == [14.0, 8000.0, 1.0, float(sa * 100 // 14)]
+    # doc_id=2 (png RGB): w=2%6+2=4, h=2%4+2=4, pixel(r,c,k)=(22+3r+7c+5k)%256
+    s0 = sum((22 + 3 * r + 7 * c) % 256 for r in range(4) for c in range(4))
+    s1 = sum((22 + 3 * r + 7 * c + 5) % 256 for r in range(4) for c in range(4))
+    assert out[2]["features"] == [4.0, 4.0, float(s0 * 100 // 16), float(s1 * 100 // 16)]
+    # doc_id=5 (png RGBA: (5//3)%2==1): same feature formula, channels 0/1
+    s0 = sum((55 + 3 * r + 7 * c) % 256 for r in range(3) for c in range(7))
+    s1 = sum((55 + 3 * r + 7 * c + 5) % 256 for r in range(3) for c in range(7))
+    assert out[5]["features"] == [3.0, 7.0, float(s0 * 100 // 21), float(s1 * 100 // 21)]

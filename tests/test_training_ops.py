@@ -154,9 +154,12 @@ def test_multimodal_feature_batch_shape(spark, docs):
     for r in feats:
         assert len(r["features"]) == 4
         assert r["media_type"] in ("image/png", "audio/wav", "video/mp4")
-    # decode stub is explicit
-    with pytest.raises(NotImplementedError):
+    # png decode is real now -> junk bytes are a ValueError (fallback
+    # isolation); the codec-less format still raises NotImplementedError
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"xx", "image/png")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "video/mp4")
 
 
 def test_multimodal_resize_metadata_sync(spark, docs):
