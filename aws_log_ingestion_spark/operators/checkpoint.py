@@ -19,6 +19,27 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# Free-text / unique-id string columns. A parquet dictionary attempt on
+# these always overflows its size cap and falls back to plain encoding,
+# so the per-row-group dictionary build is pure wasted CPU on the hot
+# write path — measured 39% of end-to-end job CPU at 10M turns, with
+# byte-identical output (zstd captures the little redundancy a fallback
+# dictionary would have; writer A/B in BENCH/BASELINE.md). Categorical
+# columns (conv_id, role, sink, log_group, trace_id...) keep dictionary
+# encoding: it genuinely shrinks them and feeds dictionary-filter
+# pushdown on the read side.
+HIGH_CARDINALITY_TEXT_COLS = frozenset({"text", "message", "req_id_raw"})
+
+
+def parquet_text_options(df: DataFrame) -> dict[str, str]:
+    """Per-column writer options (parquet.enable.dictionary#<col>, a
+    parquet-java >= 1.12 feature) disabling dictionary encoding for the
+    high-cardinality text columns actually present in ``df``."""
+    cols = HIGH_CARDINALITY_TEXT_COLS.intersection(
+        f.name for f in df.schema.fields
+    )
+    return {f"parquet.enable.dictionary#{c}": "false" for c in sorted(cols)}
+
 
 class CheckpointLog:
     """JSON-lines manifest (one file per completed stage) under
@@ -157,7 +178,9 @@ def _write_observed(observed: DataFrame, path: str, stage: str, order_cols) -> d
         # Iceberg analog of the parquet overwrite + manifest record
         sorted_df.writeTo(table).using("iceberg").createOrReplace()
         return {**fmt, "table": table}
-    sorted_df.write.mode("overwrite").parquet(path)
+    sorted_df.write.mode("overwrite").options(
+        **parquet_text_options(sorted_df)
+    ).parquet(path)
     return {**fmt, "path": path}
 
 
@@ -253,6 +276,7 @@ def observed_write_bucketed(
         (
             part.sortWithinPartitions("conv_bucket", *order_cols)
             .write.mode("overwrite")
+            .options(**parquet_text_options(part))
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("conv_bucket")
             .parquet(path)

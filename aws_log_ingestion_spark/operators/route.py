@@ -63,7 +63,11 @@ def write_sink(df: DataFrame, path: str, order_cols=("conv_id", "turn_idx")) -> 
     ``writeTo(...).overwritePartitions()`` whose atomic snapshot commit
     provides the idempotency the reference approximates with HTTP retries
     (SURVEY.md §2 row 17)."""
-    df.sortWithinPartitions(*order_cols).write.mode("overwrite").parquet(path)
+    from .checkpoint import parquet_text_options
+
+    df.sortWithinPartitions(*order_cols).write.mode("overwrite").options(
+        **parquet_text_options(df)
+    ).parquet(path)
 
 
 def infra_union(classified: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:

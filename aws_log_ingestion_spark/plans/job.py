@@ -107,7 +107,9 @@ def run_pipeline(
             )
             observed.sortWithinPartitions("sink", "conv_id", "turn_idx").write.mode(
                 "overwrite"
-            ).partitionBy("sink").parquet(f"{out_dir}/infra")
+            ).options(**ckpt.parquet_text_options(observed)).partitionBy(
+                "sink"
+            ).parquet(f"{out_dir}/infra")
             per_sink = {s: int(obs.get[s] or 0) for s in INFRA_SINKS}
             from ..operators.route import infra_url
 

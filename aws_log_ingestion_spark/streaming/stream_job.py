@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import PipelineConfig
+from ..operators.checkpoint import parquet_text_options
 from ..operators.classify import classify
 from ..operators.enrich import enrich
 from ..operators.melt import melt_project
@@ -34,9 +35,14 @@ def make_batch_processor(conv_meta: DataFrame, out_dir: str, cfg: PipelineConfig
         if cfg.infra_enabled:
             infra_union(hub, cfg).sortWithinPartitions(
                 "sink", "conv_id", "turn_idx"
-            ).write.mode("append").partitionBy("sink").parquet(f"{out_dir}/infra")
+            ).write.mode("append").options(
+                **parquet_text_options(hub)
+            ).partitionBy("sink").parquet(f"{out_dir}/infra")
         if cfg.logging_enabled:
-            melt_project(hub, cfg).write.mode("append").parquet(f"{out_dir}/logging")
+            mp = melt_project(hub, cfg)
+            mp.write.mode("append").options(**parquet_text_options(mp)).parquet(
+                f"{out_dir}/logging"
+            )
 
     return process
 
@@ -91,7 +97,10 @@ def run_stream_stateful_logging(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         hub = enrich(batch_df, conv_meta)
-        melt_project(hub, cfg).write.mode("append").parquet(f"{out_dir}/logging")
+        mp = melt_project(hub, cfg)
+        mp.write.mode("append").options(**parquet_text_options(mp)).parquet(
+            f"{out_dir}/logging"
+        )
 
     return (
         filled.writeStream.foreachBatch(process)

@@ -54,6 +54,7 @@ def _maybe_pin(cpus: int) -> None:
 from pyspark.sql import functions as F
 
 from aws_log_ingestion_spark.config import PipelineConfig
+from aws_log_ingestion_spark.operators import checkpoint as ckpt
 from aws_log_ingestion_spark.operators.chunks import (
     chunk_counts_fast,
     chunk_replay,
@@ -192,18 +193,25 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
         )
     else:
         hub_df = classify(with_melt_fills(t, cfg), cfg, fill_request_ids=False)
-    enrich(hub_df, meta).write.mode("overwrite").parquet(f"{out}/classified")
+    hub_out = enrich(hub_df, meta)
+    hub_out.write.mode("overwrite").options(
+        **ckpt.parquet_text_options(hub_out)
+    ).parquet(f"{out}/classified")
     timings["hub_write"] = time.time() - t0
     hub = spark.read.parquet(f"{out}/classified")
 
     t0 = time.time()
-    infra_union(hub, cfg).sortWithinPartitions(
-        "sink", "conv_id", "turn_idx"
-    ).write.mode("overwrite").partitionBy("sink").parquet(f"{out}/infra")
+    iu = infra_union(hub, cfg)
+    iu.sortWithinPartitions("sink", "conv_id", "turn_idx").write.mode(
+        "overwrite"
+    ).options(**ckpt.parquet_text_options(iu)).partitionBy("sink").parquet(
+        f"{out}/infra"
+    )
     timings["infra_write"] = time.time() - t0
 
     t0 = time.time()
-    melt_project(hub, cfg, decode_traces=True).write.mode("overwrite").parquet(
+    mp = melt_project(hub, cfg, decode_traces=True)
+    mp.write.mode("overwrite").options(**ckpt.parquet_text_options(mp)).parquet(
         f"{out}/logging"
     )
     timings["logging_write"] = time.time() - t0
