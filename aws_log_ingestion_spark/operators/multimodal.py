@@ -2,13 +2,12 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct;
 decode/feature-extraction runs as Arrow-batched ``mapInPandas``. Decode
-is REAL for the three formats a pure-Python parser can handle — BMP
-(24-bit BI_RGB), WAV (8/16-bit integer PCM) and PNG (8-bit gray/RGB/
-palette/alpha via stdlib zlib + numpy unfiltering), see ``decode_bmp``/
-``decode_wav``/``decode_png`` — while formats whose codecs genuinely
-need external libraries (jpeg's DCT+Huffman, mp4's video codecs) still
-raise NotImplementedError; the deterministic fake extractor stands in
-for those. The Spark-side plumbing (schema, batch iteration, partitioning,
+is REAL for the four formats a pure-Python parser can handle — BMP
+(24-bit BI_RGB), WAV (8/16-bit integer PCM), PNG (8-bit gray/RGB/
+palette/alpha via stdlib zlib + numpy unfiltering) and baseline JPEG
+(marker walk + Huffman + IDCT in numpy, ``operators/jpeg.py``) — while
+video (mp4) still raises NotImplementedError (no ffmpeg in this
+container); the deterministic fake extractor stands in for that. The Spark-side plumbing (schema, batch iteration, partitioning,
 UDF signatures) is identical either way, which is the part that matters
 for the 100 TB design: binary columns stream through Arrow without
 driver materialisation, and the extractor is a per-batch generator so
@@ -382,21 +381,25 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str):
-    """Codec dispatch. REAL for the three formats a pure-Python parser
-    can handle (image/bmp -> (H, W, 3) uint8 RGB; image/png -> (H, W, C)
-    uint8 via stdlib zlib; audio/wav -> (samples[n, ch] int32, rate));
-    jpeg/mp4 still raise NotImplementedError — DCT+Huffman / video
-    codecs genuinely need libraries this container doesn't ship
-    (PIL / ffmpeg)."""
+    """Codec dispatch. REAL for the four formats a pure-Python parser
+    can handle: image/bmp -> (H, W, 3) uint8 RGB; image/png -> (H, W, C)
+    uint8 via stdlib zlib; image/jpeg -> baseline-DCT numpy decode
+    (operators/jpeg.py); audio/wav -> (samples[n, ch] int32, rate).
+    Video (mp4 etc.) still raises NotImplementedError — video codecs
+    genuinely need libraries this container doesn't ship (ffmpeg)."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
     if media_type == "image/png":
         return decode_png(payload)
+    if media_type == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if media_type == "audio/wav":
         return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
-        "bmp/png/wav decode is real, others use fake_features()"
+        "bmp/png/jpeg/wav decode is real, others use fake_features()"
     )
 
 
@@ -495,7 +498,7 @@ def decoded_features(media: DataFrame) -> DataFrame:
                     )
                     continue
                 decoded.append(1)
-                if mt in ("image/bmp", "image/png"):
+                if mt in ("image/bmp", "image/png", "image/jpeg"):
                     img = obj
                     h, w = img.shape[0], img.shape[1]
                     c1 = min(1, img.shape[2] - 1)  # gray PNGs: ch0 twice
@@ -556,11 +559,16 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
             for payload, mt, w, h in zip(
                 pdf["payload"], pdf["media_type"], pdf["width"], pdf["height"]
             ):
-                if mt in ("image/bmp", "image/png"):
+                if mt in ("image/bmp", "image/png", "image/jpeg"):
                     try:
                         if mt == "image/bmp":
                             img = decode_bmp(bytes(payload))
                             enc = encode_bmp
+                        elif mt == "image/jpeg":
+                            from .jpeg import decode_jpeg, encode_jpeg
+
+                            img = decode_jpeg(bytes(payload))
+                            enc = encode_jpeg
                         else:
                             img = decode_png(bytes(payload))
                             enc = encode_png
