@@ -451,10 +451,12 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def q_decoded_features(spark, sf_dir):
-    """REAL decoders through the driver gate: deterministic BMP/WAV/PNG
-    payloads built from doc_id (multimodal.synth_decodable_media — every
-    pixel/sample a closed-form integer function of doc_id) are decoded
-    by decode_bmp/decode_wav/decode_png inside decoded_features; the oracle
+    """REAL decoders through the driver gate: deterministic BMP/WAV/PNG/
+    JPEG payloads built from doc_id (multimodal.synth_decodable_media —
+    every pixel/sample a closed-form integer function of doc_id; the JPEG
+    arm is DC-exact constant gray so even the lossy codec is oracle-able)
+    are decoded by decode_bmp/decode_wav/decode_png/decode_jpeg inside
+    decoded_features; the oracle
     recomputes the same features by pure arithmetic, no codec. A hash
     match proves the full encode->Arrow->decode->feature path byte-works
     end-to-end, not just on pytest fixtures (VERDICT r3 #5).
@@ -1512,7 +1514,7 @@ def _sql_decoded_features() -> str:
     Spark side still has to reconstruct the full pixel array to agree)."""
     return (
         "WITH bmp AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h "
-        "FROM documents WHERE doc_id % 3 = 0), "
+        "FROM documents WHERE doc_id % 6 = 0), "
         "bp1 AS (SELECT doc_id, w, h, unnest(range(0, h)) AS r FROM bmp), "
         "bp2 AS (SELECT doc_id, w, h, r, unnest(range(0, w)) AS c FROM bp1), "
         "bsum AS (SELECT doc_id, MAX(h) AS h, MAX(w) AS w, "
@@ -1545,9 +1547,21 @@ def _sql_decoded_features() -> str:
         "gfeat AS (SELECT doc_id, 'image/png' AS media_type, "
         "CAST(1 AS INT) AS decoded, CAST(h AS BIGINT) AS f0, "
         "CAST(w AS BIGINT) AS f1, CAST((sum_0*100) // (h*w) AS BIGINT) AS f2, "
-        "CAST((sum_1*100) // (h*w) AS BIGINT) AS f3 FROM gsum) "
+        "CAST((sum_1*100) // (h*w) AS BIGINT) AS f3 FROM gsum), "
+        # DC-exact constant-gray JPEGs: pixel value v is even, so the
+        # quality-50 luma quantizer (Q00=16) round-trips exactly and the
+        # lossy codec decodes to exactly v in every channel (see
+        # multimodal.synth_decodable_media docstring); features collapse
+        # to closed form with no per-pixel sum.
+        "jfeat AS (SELECT doc_id, 'image/jpeg' AS media_type, "
+        "CAST(1 AS INT) AS decoded, "
+        "CAST(doc_id % 3 + 2 AS BIGINT) AS f0, "
+        "CAST(doc_id % 5 + 3 AS BIGINT) AS f1, "
+        "CAST(((doc_id*9) % 127) * 2 * 100 AS BIGINT) AS f2, "
+        "CAST(((doc_id*9) % 127) * 2 * 100 AS BIGINT) AS f3 "
+        "FROM documents WHERE doc_id % 6 = 3) "
         "SELECT * FROM bfeat UNION ALL SELECT * FROM wfeat "
-        "UNION ALL SELECT * FROM gfeat"
+        "UNION ALL SELECT * FROM gfeat UNION ALL SELECT * FROM jfeat"
     )
 
 

@@ -330,8 +330,15 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
     integer function of doc_id, so an engine with NO codec can still
     compute the decoded features exactly (the DuckDB oracle does):
 
-      doc_id%3==0 -> 24-bit BMP, W = doc_id%7+2, H = doc_id%5+2,
+      doc_id%6==0 -> 24-bit BMP, W = doc_id%7+2, H = doc_id%5+2,
         pixel(r, c, channel k) = (doc_id*7 + r*5 + c*3 + k*11) % 256
+      doc_id%6==3 -> baseline JPEG (quality 50, 4:4:4), constant gray
+        v = ((doc_id*9) % 127) * 2, W = doc_id%5+3, H = doc_id%3+2.
+        v is EVEN so the luma DC quantization (Q00=16 at quality 50)
+        round-trips exactly: DCT DC = 8*(v-128), quantized (v-128)/2
+        with zero remainder, and R=G=B makes Cb=Cr exactly 128 (chroma
+        DC = 0) — so the LOSSY codec decodes these payloads to exactly
+        v in every channel and the SQL oracle stays closed-form
       doc_id%3==1 -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
         n_frames = doc_id%50+10, rate = 8000 + (doc_id%4)*4000,
         interleaved sample i = (doc_id*13 + i*7) % 4096 - 2048
@@ -349,6 +356,15 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 if d % 3 == 0:
+                    if d % 6 == 3:
+                        from .jpeg import encode_jpeg
+
+                        v = ((d * 9) % 127) * 2
+                        w, h = d % 5 + 3, d % 3 + 2
+                        img = np.full((h, w, 3), v, dtype=np.uint8)
+                        payloads.append(encode_jpeg(img, quality=50))
+                        mts.append("image/jpeg")
+                        continue
                     w, h = d % 7 + 2, d % 5 + 2
                     r = np.arange(h).reshape(h, 1, 1)
                     c = np.arange(w).reshape(1, w, 1)

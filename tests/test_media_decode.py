@@ -325,19 +325,24 @@ def test_synth_decodable_media_round_trips(spark):
     """Every synthesized payload must really decode (decoded=1) with the
     closed-form features the oracle computes — spot-check one doc of each
     format against hand arithmetic."""
-    docs = spark.range(0, 9).select(F.col("id").alias("doc_id"))
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
     media = multimodal.synth_decodable_media(docs)
     mts = {r["doc_id"]: r["media_type"] for r in media.collect()}
-    assert [mts[d] for d in range(6)] == [
+    assert [mts[d] for d in range(7)] == [
         "image/bmp", "audio/wav", "image/png",
-        "image/bmp", "audio/wav", "image/png",
+        "image/jpeg", "audio/wav", "image/png", "image/bmp",
     ]
     out = {r["doc_id"]: r for r in multimodal.decoded_features(media).collect()}
-    assert all(out[d]["decoded"] == 1 for d in range(9))
-    # doc_id=3 (bmp): w=3%7+2=5, h=3%5+2=5, pixel(r,c,k)=(21+5r+3c+11k)%256
-    sr = sum((21 + 5 * r + 3 * c) % 256 for r in range(5) for c in range(5))
-    sg = sum((21 + 5 * r + 3 * c + 11) % 256 for r in range(5) for c in range(5))
-    assert out[3]["features"] == [5.0, 5.0, float(sr * 100 // 25), float(sg * 100 // 25)]
+    assert all(out[d]["decoded"] == 1 for d in range(12))
+    # doc_id=6 (bmp): w=6%7+2=8, h=6%5+2=3, pixel(r,c,k)=(42+5r+3c+11k)%256
+    sr = sum((42 + 5 * r + 3 * c) % 256 for r in range(3) for c in range(8))
+    sg = sum((42 + 5 * r + 3 * c + 11) % 256 for r in range(3) for c in range(8))
+    assert out[6]["features"] == [3.0, 8.0, float(sr * 100 // 24), float(sg * 100 // 24)]
+    # doc_id=3 (jpeg, DC-exact constant gray): v=((27)%127)*2=54,
+    # w=3%5+3=6, h=3%3+2=2 — the LOSSY codec decodes to exactly v
+    assert out[3]["features"] == [2.0, 6.0, 5400.0, 5400.0]
+    # doc_id=9 (jpeg): v=((81)%127)*2=162, w=9%5+3=7, h=9%3+2=2
+    assert out[9]["features"] == [2.0, 7.0, 16200.0, 16200.0]
     # doc_id=4 (wav): ch=(4//2)%2+1=1, n=4%50+10=14, rate=8000+(4%4)*4000=8000
     sa = sum(abs((52 + 7 * i) % 4096 - 2048) for i in range(14))
     assert out[4]["features"] == [14.0, 8000.0, 1.0, float(sa * 100 // 14)]
