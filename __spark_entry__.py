@@ -480,6 +480,31 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video frame extraction through the driver gate: the MJPEG
+    AVI payloads from synth_decodable_media (DC-exact constant-gray
+    frames, see its docstring) are container-walked and per-frame
+    JPEG-decoded by operators/avi.py; one row per frame with dims and
+    the channel-0 mean. The oracle recomputes the constants by integer
+    arithmetic — a hash match proves the RIFF walk, the per-frame
+    Huffman decode and the frame ordering all byte-work end-to-end."""
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return multimodal.video_frame_features(media)
+
+
+def _sql_video_frames() -> str:
+    return (
+        "WITH avi AS (SELECT doc_id, doc_id % 4 + 2 AS n, "
+        "(doc_id // 2) % 3 + 2 AS h, doc_id % 5 + 3 AS w "
+        "FROM documents WHERE doc_id % 6 = 4), "
+        "f AS (SELECT doc_id, h, w, unnest(range(0, n)) AS i FROM avi) "
+        "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+        "CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
+        "CAST(((doc_id*9 + i*31) % 127) * 2 * 100 AS BIGINT) AS mean_x100 "
+        "FROM f"
+    )
+
+
 def q_quantile_stats(spark, sf_dir):
     """Exact per-language length percentiles (percentile_disc by rank
     selection — integer-exact, unlike percentile_cont/approx sketches)."""
@@ -593,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "decoded_features": q_decoded_features,
         "frame_sample": q_frame_sample,
+        "video_frames": q_video_frames,
     }
 
 
@@ -1527,7 +1553,7 @@ def _sql_decoded_features() -> str:
         "CAST((sum_g*100) // (h*w) AS BIGINT) AS f3 FROM bsum), "
         "wav AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, "
         "doc_id % 50 + 10 AS n, 8000 + (doc_id % 4) * 4000 AS rate "
-        "FROM documents WHERE doc_id % 3 = 1), "
+        "FROM documents WHERE doc_id % 6 = 1), "
         "wp AS (SELECT doc_id, ch, n, rate, unnest(range(0, n*ch)) AS i FROM wav), "
         "wsum AS (SELECT doc_id, MAX(n) AS n, MAX(ch) AS ch, MAX(rate) AS rate, "
         "SUM(abs((doc_id*13 + i*7) % 4096 - 2048)) AS sum_abs "
@@ -1559,9 +1585,24 @@ def _sql_decoded_features() -> str:
         "CAST(doc_id % 5 + 3 AS BIGINT) AS f1, "
         "CAST(((doc_id*9) % 127) * 2 * 100 AS BIGINT) AS f2, "
         "CAST(((doc_id*9) % 127) * 2 * 100 AS BIGINT) AS f3 "
-        "FROM documents WHERE doc_id % 6 = 3) "
+        "FROM documents WHERE doc_id % 6 = 3), "
+        # MJPEG AVI arm: every frame is DC-exact constant gray, so the
+        # lossy video codec decodes frame i to exactly v_i and the mean
+        # collapses: floor(sum(v_i)*100 / n) (the h*w factor cancels
+        # inside the floor).
+        "avi AS (SELECT doc_id, doc_id % 4 + 2 AS n, "
+        "(doc_id // 2) % 3 + 2 AS h, doc_id % 5 + 3 AS w "
+        "FROM documents WHERE doc_id % 6 = 4), "
+        "ap AS (SELECT doc_id, n, h, w, unnest(range(0, n)) AS i FROM avi), "
+        "asum AS (SELECT doc_id, MAX(n) AS n, MAX(h) AS h, MAX(w) AS w, "
+        "SUM(((doc_id*9 + i*31) % 127) * 2) AS sum_v FROM ap GROUP BY doc_id), "
+        "vfeat AS (SELECT doc_id, 'video/avi' AS media_type, "
+        "CAST(1 AS INT) AS decoded, CAST(n AS BIGINT) AS f0, "
+        "CAST(h AS BIGINT) AS f1, CAST(w AS BIGINT) AS f2, "
+        "CAST((sum_v*100) // n AS BIGINT) AS f3 FROM asum) "
         "SELECT * FROM bfeat UNION ALL SELECT * FROM wfeat "
-        "UNION ALL SELECT * FROM gfeat UNION ALL SELECT * FROM jfeat"
+        "UNION ALL SELECT * FROM gfeat UNION ALL SELECT * FROM jfeat "
+        "UNION ALL SELECT * FROM vfeat"
     )
 
 
@@ -1631,4 +1672,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _sql_multimodal_resize(),
         "decoded_features": _sql_decoded_features(),
         "frame_sample": _sql_frame_sample(),
+        "video_frames": _sql_video_frames(),
     }

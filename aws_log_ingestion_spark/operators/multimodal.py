@@ -339,9 +339,14 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
         with zero remainder, and R=G=B makes Cb=Cr exactly 128 (chroma
         DC = 0) — so the LOSSY codec decodes these payloads to exactly
         v in every channel and the SQL oracle stays closed-form
-      doc_id%3==1 -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
+      doc_id%6==1 -> 16-bit PCM WAV, channels = (doc_id//2)%2+1,
         n_frames = doc_id%50+10, rate = 8000 + (doc_id%4)*4000,
         interleaved sample i = (doc_id*13 + i*7) % 4096 - 2048
+      doc_id%6==4 -> MJPEG AVI (quality 50), n_frames = doc_id%4+2,
+        W = doc_id%5+3, H = (doc_id//2)%3+2, fps = doc_id%5+5; frame i
+        is constant gray v_i = ((doc_id*9 + i*31) % 127) * 2 — even, so
+        every frame is DC-exact (same argument as the JPEG arm) and the
+        lossy video codec decodes to exactly v_i per frame
       doc_id%3==2 -> 8-bit PNG (RGB when (doc_id//3)%2==0 else RGBA),
         W = doc_id%6+2, H = doc_id%4+2,
         pixel(r, c, channel k) = (doc_id*11 + r*3 + c*7 + k*5) % 256
@@ -373,6 +378,20 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
                     payloads.append(encode_bmp(img))
                     mts.append("image/bmp")
                 elif d % 3 == 1:
+                    if d % 6 == 4:
+                        from .avi import encode_avi_mjpeg
+
+                        n = d % 4 + 2
+                        w, h = d % 5 + 3, (d // 2) % 3 + 2
+                        frames = [
+                            np.full((h, w, 3), ((d * 9 + i * 31) % 127) * 2, np.uint8)
+                            for i in range(n)
+                        ]
+                        payloads.append(
+                            encode_avi_mjpeg(frames, fps=d % 5 + 5, quality=50)
+                        )
+                        mts.append("video/avi")
+                        continue
                     ch = (d // 2) % 2 + 1
                     n = d % 50 + 10
                     rate = 8000 + (d % 4) * 4000
@@ -401,7 +420,9 @@ def decode_media(payload: bytes, media_type: str):
     can handle: image/bmp -> (H, W, 3) uint8 RGB; image/png -> (H, W, C)
     uint8 via stdlib zlib; image/jpeg -> baseline-DCT numpy decode
     (operators/jpeg.py); audio/wav -> (samples[n, ch] int32, rate).
-    Video (mp4 etc.) still raises NotImplementedError — video codecs
+    video/avi -> (frames list of (H, W, 3) uint8, fps) for MJPEG streams
+    (RIFF walk + per-frame JPEG decode, operators/avi.py). Inter-frame
+    video (mp4/h264) still raises NotImplementedError — those codecs
     genuinely need libraries this container doesn't ship (ffmpeg)."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
@@ -413,9 +434,13 @@ def decode_media(payload: bytes, media_type: str):
         return decode_jpeg(payload)
     if media_type == "audio/wav":
         return decode_wav(payload)
+    if media_type == "video/avi":
+        from .avi import decode_avi_mjpeg
+
+        return decode_avi_mjpeg(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
-        "bmp/png/jpeg/wav decode is real, others use fake_features()"
+        "bmp/png/jpeg/wav/avi(MJPEG) decode is real, others use fake_features()"
     )
 
 
@@ -485,7 +510,8 @@ def decoded_features(media: DataFrame) -> DataFrame:
 
     image/bmp, image/png -> [height, width, floor(mean_ch0*100),
     floor(mean_ch1*100)] (gray PNGs repeat channel 0);
-    audio/wav -> [n_frames, sample_rate, n_channels, floor(mean|x|*100)].
+    audio/wav -> [n_frames, sample_rate, n_channels, floor(mean|x|*100)];
+    video/avi (MJPEG) -> [n_frames, height, width, floor(mean_ch0*100)].
     Payloads with no pure-Python codec (or that fail to parse) fall back
     to the deterministic byte-slice features with decoded=0, so one bad
     payload degrades to the fake path instead of failing the partition —
@@ -525,6 +551,20 @@ def decoded_features(media: DataFrame) -> DataFrame:
                             float(w),
                             float(int(img[:, :, 0].astype(np.int64).sum()) * 100 // n),
                             float(int(img[:, :, c1].astype(np.int64).sum()) * 100 // n),
+                        ]
+                    )
+                elif mt == "video/avi":
+                    frames, fps = obj
+                    h, w = frames[0].shape[0], frames[0].shape[1]
+                    tot = sum(
+                        int(f[:, :, 0].astype(np.int64).sum()) for f in frames
+                    )
+                    feats.append(
+                        [
+                            float(len(frames)),
+                            float(h),
+                            float(w),
+                            float(tot * 100 // (len(frames) * h * w)),
                         ]
                     )
                 else:  # audio/wav
@@ -592,6 +632,20 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                         continue
                     except ValueError:
                         pass  # unparseable image -> byte-downsample fallback
+                elif mt == "video/avi":
+                    try:
+                        from .avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+                        frames, fps = decode_avi_mjpeg(bytes(payload))
+                        out_payload.append(
+                            encode_avi_mjpeg(
+                                [resize_nn(f, target_w, target_h) for f in frames],
+                                fps=max(1, fps),
+                            )
+                        )
+                        continue
+                    except ValueError:
+                        pass  # unparseable video -> byte-downsample fallback
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 ratio = max(1, int((int(w) * int(h)) / (target_w * target_h)))
                 out_payload.append(arr[::ratio].tobytes())
@@ -624,4 +678,58 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "doc_id",
         "media_type",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("mean_x100", LongType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame extraction: decode each ``video/avi`` payload (RIFF
+    walk + per-frame MJPEG decode, operators/avi.py) and emit one row
+    per every_n-th frame with its dimensions and channel-0 mean (x100,
+    floor — integer-exact cross-engine). Non-AVI and unparseable rows
+    are dropped, mirroring what a frame-extraction stage feeding a
+    vision pipeline does. mapInPandas generator: one in-flight Arrow
+    batch per task, frames never ship whole to the driver — at 100 TB
+    each task decodes its own partition's payloads and emits only the
+    small per-frame feature rows."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "frame_idx", "height", "width", "mean_x100")}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "video/avi":
+                    continue
+                try:
+                    frames, _fps = decode_media(bytes(payload), mt)
+                except (NotImplementedError, ValueError):
+                    continue
+                for i in range(0, len(frames), every_n):
+                    f = frames[i]
+                    h, w = f.shape[0], f.shape[1]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["height"].append(h)
+                    rows["width"].append(w)
+                    rows["mean_x100"].append(
+                        int(f[:, :, 0].astype(np.int64).sum()) * 100 // (h * w)
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        gen, VIDEO_FRAME_SCHEMA
     )

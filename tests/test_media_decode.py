@@ -328,9 +328,9 @@ def test_synth_decodable_media_round_trips(spark):
     docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
     media = multimodal.synth_decodable_media(docs)
     mts = {r["doc_id"]: r["media_type"] for r in media.collect()}
-    assert [mts[d] for d in range(7)] == [
-        "image/bmp", "audio/wav", "image/png",
-        "image/jpeg", "audio/wav", "image/png", "image/bmp",
+    assert [mts[d] for d in range(8)] == [
+        "image/bmp", "audio/wav", "image/png", "image/jpeg",
+        "video/avi", "image/png", "image/bmp", "audio/wav",
     ]
     out = {r["doc_id"]: r for r in multimodal.decoded_features(media).collect()}
     assert all(out[d]["decoded"] == 1 for d in range(12))
@@ -343,9 +343,12 @@ def test_synth_decodable_media_round_trips(spark):
     assert out[3]["features"] == [2.0, 6.0, 5400.0, 5400.0]
     # doc_id=9 (jpeg): v=((81)%127)*2=162, w=9%5+3=7, h=9%3+2=2
     assert out[9]["features"] == [2.0, 7.0, 16200.0, 16200.0]
-    # doc_id=4 (wav): ch=(4//2)%2+1=1, n=4%50+10=14, rate=8000+(4%4)*4000=8000
-    sa = sum(abs((52 + 7 * i) % 4096 - 2048) for i in range(14))
-    assert out[4]["features"] == [14.0, 8000.0, 1.0, float(sa * 100 // 14)]
+    # doc_id=7 (wav): ch=(7//2)%2+1=2, n=7%50+10=17, rate=8000+(7%4)*4000=20000
+    sa = sum(abs((91 + 7 * i) % 4096 - 2048) for i in range(34))
+    assert out[7]["features"] == [17.0, 20000.0, 2.0, float(sa * 100 // 34)]
+    # doc_id=4 (MJPEG avi, DC-exact frames): n=4%4+2=2, w=4%5+3=7,
+    # h=(4//2)%3+2=4, v_i=((36+31i)%127)*2 -> [72, 134]
+    assert out[4]["features"] == [2.0, 4.0, 7.0, float((72 + 134) * 100 // 2)]
     # doc_id=2 (png RGB): w=2%6+2=4, h=2%4+2=4, pixel(r,c,k)=(22+3r+7c+5k)%256
     s0 = sum((22 + 3 * r + 7 * c) % 256 for r in range(4) for c in range(4))
     s1 = sum((22 + 3 * r + 7 * c + 5) % 256 for r in range(4) for c in range(4))
