@@ -480,6 +480,39 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_audio_energy(spark, sf_dir):
+    """Windowed audio energy through the driver gate: the WAV payloads
+    from synth_decodable_media are PCM-decoded for real, channel-averaged
+    (floor), and reduced to one row per 16-sample window with exact
+    integer mean|x| and sum-of-squares. The oracle recomputes every
+    sample from the closed form and aggregates in SQL — a hash match
+    proves the RIFF/PCM parse, interleaving, channel fold and window
+    split all agree bit-for-bit."""
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return multimodal.audio_energy_windows(media, win=16)
+
+
+def _sql_audio_energy() -> str:
+    return (
+        "WITH wav AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, "
+        "doc_id % 50 + 10 AS n FROM documents WHERE doc_id % 6 = 1), "
+        "j AS (SELECT doc_id, ch, unnest(range(0, n)) AS f FROM wav), "
+        # interleaved sample i = (d*13 + i*7) % 4096 - 2048; mono frame f
+        # averages its ch samples with FLOOR (numpy // semantics, hence
+        # floor() over /2.0 rather than DuckDB's truncating integer /)
+        "mono AS (SELECT doc_id, f, CASE WHEN ch = 1 THEN "
+        "(doc_id*13 + f*7) % 4096 - 2048 ELSE "
+        "CAST(floor((((doc_id*13 + (2*f)*7) % 4096 - 2048) + "
+        "((doc_id*13 + (2*f+1)*7) % 4096 - 2048)) / 2.0) AS BIGINT) END AS v "
+        "FROM j) "
+        "SELECT doc_id, CAST(f // 16 AS INT) AS win_idx, "
+        "CAST(COUNT(*) AS INT) AS n_samples, "
+        "CAST(SUM(abs(v)) * 100 // COUNT(*) AS BIGINT) AS mean_abs_x100, "
+        "CAST(SUM(v * v) AS BIGINT) AS sum_sq "
+        "FROM mono GROUP BY doc_id, f // 16"
+    )
+
+
 def q_video_frames(spark, sf_dir):
     """REAL video frame extraction through the driver gate: the MJPEG
     AVI payloads from synth_decodable_media (DC-exact constant-gray
@@ -619,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decoded_features": q_decoded_features,
         "frame_sample": q_frame_sample,
         "video_frames": q_video_frames,
+        "audio_energy": q_audio_energy,
     }
 
 
@@ -1673,4 +1707,5 @@ def oracle_sql() -> dict[str, str]:
         "decoded_features": _sql_decoded_features(),
         "frame_sample": _sql_frame_sample(),
         "video_frames": _sql_video_frames(),
+        "audio_energy": _sql_audio_energy(),
     }

@@ -665,6 +665,64 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     ).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mean_abs_x100", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def audio_energy_windows(media: DataFrame, win: int = 256) -> DataFrame:
+    """Windowed audio energy over REAL-decoded WAV payloads — the
+    voice-activity-detection / silence-trim primitive of an audio
+    training pipeline. Each ``audio/wav`` payload is PCM-decoded
+    (operators' pure struct+numpy ``decode_wav``), channels are averaged
+    (floor division — integer-exact), and one row per ``win``-sample
+    window reports floor(mean|x|*100) plus the exact sum of squares
+    (integer energy; cross-engine stable where sqrt/float RMS is not).
+    Non-WAV and unparseable rows are dropped. mapInPandas generator:
+    each task decodes only its partition's payloads and emits small
+    per-window rows — the same 100 TB shape as video_frame_features."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("doc_id", "win_idx", "n_samples", "mean_abs_x100", "sum_sq")
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                try:
+                    samples, _rate = decode_wav(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                for wi in range(0, (len(mono) + win - 1) // win):
+                    seg = mono[wi * win : (wi + 1) * win]
+                    rows["doc_id"].append(int(doc_id))
+                    rows["win_idx"].append(wi)
+                    rows["n_samples"].append(len(seg))
+                    rows["mean_abs_x100"].append(
+                        int(np.abs(seg).sum()) * 100 // len(seg)
+                    )
+                    rows["sum_sq"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        gen, AUDIO_WINDOW_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of each
     payload (what video frame extraction produces), fully vectorized via

@@ -357,3 +357,31 @@ def test_synth_decodable_media_round_trips(spark):
     s0 = sum((55 + 3 * r + 7 * c) % 256 for r in range(3) for c in range(7))
     s1 = sum((55 + 3 * r + 7 * c + 5) % 256 for r in range(3) for c in range(7))
     assert out[5]["features"] == [3.0, 7.0, float(s0 * 100 // 21), float(s1 * 100 // 21)]
+
+
+def test_audio_energy_windows_stereo_fold_and_ragged_tail(spark):
+    """Stereo channel averaging uses FLOOR (numpy // semantics, matters
+    for negative sums) and the last window keeps its short length."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    # 2-channel, 20 frames: window 16 -> windows of 16 and 4
+    s = np.array(
+        [[(13 * i) % 4096 - 2048 for _ in range(1)] + [(7 * i) % 4096 - 2048]
+         for i in range(20)],
+        dtype=np.int64,
+    )
+    payload = multimodal.encode_wav(s, rate=8000)
+    media = spark.createDataFrame(
+        [Row(doc_id=1, media_type="audio/wav", payload=bytearray(payload)),
+         Row(doc_id=2, media_type="video/mp4", payload=bytearray(b"\x00" * 64))]
+    )
+    rows = {r["win_idx"]: r for r in
+            multimodal.audio_energy_windows(media, win=16).collect()}
+    assert sorted(rows) == [0, 1]  # the mp4 row is dropped, not failed
+    mono = (s[:, 0] + s[:, 1]) // 2  # floor division, negative-safe
+    for wi, seg in ((0, mono[:16]), (1, mono[16:])):
+        assert rows[wi]["n_samples"] == len(seg)
+        assert rows[wi]["mean_abs_x100"] == int(np.abs(seg).sum()) * 100 // len(seg)
+        assert rows[wi]["sum_sq"] == int((seg * seg).sum())
