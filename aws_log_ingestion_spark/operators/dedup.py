@@ -38,6 +38,21 @@ def _shingle_hash(i: int, hash_fn: str) -> Column:
     return F.xxhash64(F.col("shingle"), F.lit(i))
 
 
+def _slot_exprs(sh: DataFrame, num_hashes: int, hash_fn: str):
+    """(shingle_df, slot-expression list) for the signature aggregation.
+
+    The xxhash64 path hashes each shingle STRING once into a base column
+    and derives every slot as xxhash64(base, i) over the 8-byte long —
+    64 string hashes per shingle row become 1 string hash + 64 long
+    hashes (~2x cheaper signatures, same independence properties since
+    xxhash64 mixes its seed). The md5 path is left byte-for-byte as the
+    driver oracle mirrors it (md5("i:" || shingle))."""
+    if hash_fn == "md5":
+        return sh, [_shingle_hash(i, "md5") for i in range(num_hashes)]
+    sh = sh.withColumn("sbase", F.xxhash64(F.col("shingle")))
+    return sh, [F.xxhash64(F.col("sbase"), F.lit(i)) for i in range(num_hashes)]
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Per-doc duplicate verdict: keeper = min doc_id per normalized text.
 
@@ -136,10 +151,8 @@ def minhash_signatures(
     num_hashes min() columns over the shingle set. ``hash_fn`` picks
     xxhash64 (production) or md5 (cross-engine-exact, see md5_long).
     """
-    sh = word_shingles(docs, n)
-    aggs = [
-        F.min(_shingle_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)
-    ]
+    sh, slots = _slot_exprs(word_shingles(docs, n), num_hashes, hash_fn)
+    aggs = [F.min(s).alias(f"h{i}") for i, s in enumerate(slots)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -165,10 +178,9 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sh = word_shingles(docs, n).cache()
-    aggs = [
-        F.min(_shingle_hash(i, hash_fn)).alias(f"h{i}") for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    shh, slots = _slot_exprs(sh, num_hashes, hash_fn)
+    aggs = [F.min(s).alias(f"h{i}") for i, s in enumerate(slots)]
+    sig = shh.groupBy("doc_id").agg(*aggs)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
     # over signatures instead of `bands` unioned scans). The md5 variant
@@ -204,29 +216,26 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates: explode each pair by
-    # doc A's shingles, then equi-join on (id_b, shingle) so only shared
-    # shingles survive — intersection counted without touching non-
-    # candidate pairs
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        candidates.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
-        .join(
-            sh.select(F.col("doc_id").alias("id_b"), "shingle"),
-            ["id_b", "shingle"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    # exact verification restricted to candidates: fold the (distinct)
+    # shingle index to one set-array per doc, join each candidate pair to
+    # its two sets, and intersect in-row with array_intersect. One
+    # doc_id-keyed groupBy replaces two shuffles of the full shingle
+    # corpus by (doc, shingle) — strictly fewer bytes moved at 100 TB
+    # (sets are bounded by doc length; the per-pair intersect is O(|A|+
+    # |B|) on sorted-hash arrays JVM-side, no Python).
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    pa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    pb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard_x1000",
             F.floor(
-                F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+                F.col("inter")
+                * 1000
+                / (F.size("set_a") + F.size("set_b") - F.col("inter"))
             ).cast("long"),
         )
         .filter(F.col("jaccard_x1000") >= int(threshold * 1000))
