@@ -480,6 +480,45 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_media_probe(spark, sf_dir):
+    """Container-metadata probe through the driver gate: six container
+    formats (bmp/wav/png/jpeg/avi + a metadata-only mp4 ISO-BMFF stub)
+    are header-parsed by operators/probe.py — the ffprobe-style routing
+    stage that runs before any decode at 100 TB. The oracle recomputes
+    container/codec/dims/duration from the synthesis closed forms; a
+    hash match proves each parser reads the real header fields (marker
+    walks, RIFF chunks, mp4 box tree incl. 16.16 fixed-point dims)."""
+    media = multimodal.synth_probe_media(_docs(spark, sf_dir))
+    return multimodal.media_probe(media)
+
+
+def _sql_media_probe() -> str:
+    return (
+        "SELECT doc_id, "
+        "CASE doc_id % 6 WHEN 0 THEN 'bmp' WHEN 1 THEN 'riff-wave' "
+        "WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg' WHEN 4 THEN 'riff-avi' "
+        "ELSE 'mp4' END AS container, "
+        "CASE doc_id % 6 WHEN 0 THEN 'rgb24' WHEN 1 THEN 'pcm16' "
+        "WHEN 2 THEN (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'rgb8' ELSE 'rgba8' END) "
+        "WHEN 3 THEN 'baseline' WHEN 4 THEN 'mjpg' "
+        "ELSE (CASE WHEN (doc_id // 6) % 2 = 0 THEN 'avc1' ELSE 'hvc1' END) "
+        "END AS codec, "
+        "CAST(CASE doc_id % 6 WHEN 0 THEN doc_id % 7 + 2 "
+        "WHEN 2 THEN doc_id % 6 + 2 WHEN 3 THEN doc_id % 5 + 3 "
+        "WHEN 4 THEN doc_id % 5 + 3 WHEN 5 THEN (doc_id % 16 + 1) * 16 "
+        "END AS INT) AS width, "
+        "CAST(CASE doc_id % 6 WHEN 0 THEN doc_id % 5 + 2 "
+        "WHEN 2 THEN doc_id % 4 + 2 WHEN 3 THEN doc_id % 3 + 2 "
+        "WHEN 4 THEN (doc_id // 2) % 3 + 2 WHEN 5 THEN (doc_id % 9 + 1) * 16 "
+        "END AS INT) AS height, "
+        "CAST(CASE doc_id % 6 "
+        "WHEN 1 THEN (doc_id % 50 + 10) * 1000 // (8000 + (doc_id % 4) * 4000) "
+        "WHEN 4 THEN (doc_id % 4 + 2) * (1000000 // (doc_id % 5 + 5)) // 1000 "
+        "WHEN 5 THEN doc_id % 9000 + 1000 END AS BIGINT) AS duration_ms "
+        "FROM documents"
+    )
+
+
 def q_audio_energy(spark, sf_dir):
     """Windowed audio energy through the driver gate: the WAV payloads
     from synth_decodable_media are PCM-decoded for real, channel-averaged
@@ -653,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "video_frames": q_video_frames,
         "audio_energy": q_audio_energy,
+        "media_probe": q_media_probe,
     }
 
 
@@ -1708,4 +1748,5 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _sql_frame_sample(),
         "video_frames": _sql_video_frames(),
         "audio_energy": _sql_audio_energy(),
+        "media_probe": _sql_media_probe(),
     }

@@ -665,6 +665,90 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     ).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+MEDIA_PROBE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("container", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """ffprobe-style container metadata over binary payloads (operators/
+    probe.py): container, codec, dims, duration — header parsing only,
+    no entropy decode. This is the stage a 100 TB multimodal ingest runs
+    FIRST, so that codec routing / dimension filtering happens before
+    any payload reaches expensive decode; mp4 metadata is fully real
+    here even though mp4 FRAME decode needs ffmpeg. Unknown/corrupt
+    payloads yield container='unknown' with null fields (countable for
+    data-quality dashboards) rather than failing the partition."""
+    from .probe import probe_media
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("container", "codec", "width", "height", "duration_ms")}
+            for payload in pdf["payload"]:
+                try:
+                    cont, codec, w, h, dur = probe_media(bytes(payload))
+                except ValueError:
+                    cont, codec, w, h, dur = "unknown", None, None, None, None
+                cols["container"].append(cont)
+                cols["codec"].append(codec)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["duration_ms"].append(dur)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **cols})
+
+    return media.select("doc_id", "payload").mapInPandas(gen, MEDIA_PROBE_SCHEMA)
+
+
+def synth_probe_media(docs: DataFrame) -> DataFrame:
+    """Probe-gate input: the five decodable arms of synth_decodable_media
+    for doc_id%6 != 5, and for doc_id%6==5 a metadata-only ISO-BMFF mp4
+    stub (operators/probe.py::encode_mp4_stub) with closed-form fields:
+    W=(doc_id%16+1)*16, H=(doc_id%9+1)*16, duration_ms=doc_id%9000+1000,
+    codec avc1 when (doc_id//6)%2==0 else hvc1."""
+    from .probe import encode_mp4_stub
+
+    base = synth_decodable_media(docs.filter(F.col("doc_id") % 6 != 5))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads.append(
+                    encode_mp4_stub(
+                        (d % 16 + 1) * 16,
+                        (d % 9 + 1) * 16,
+                        d % 9000 + 1000,
+                        codec=b"avc1" if (d // 6) % 2 == 0 else b"hvc1",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": "video/mp4",
+                    "payload": payloads,
+                }
+            )
+
+    mp4 = (
+        docs.filter(F.col("doc_id") % 6 == 5)
+        .select("doc_id")
+        .mapInPandas(gen, DECODABLE_MEDIA_SCHEMA)
+    )
+    return base.unionByName(mp4)
+
+
 AUDIO_WINDOW_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

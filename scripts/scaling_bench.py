@@ -111,7 +111,8 @@ def main() -> None:
     for rnd in range(rounds):
         for cpus in levels:
             loads.append(loadavg())
-            print(f"round {rnd}: local[{cpus}] (loadavg {loads[-1]}) ...", flush=True)
+            lbl = masters.get(cpus) or f"local[{cpus}]"
+            print(f"round {rnd}: {lbl} (loadavg {loads[-1]}) ...", flush=True)
             r = run_bench(sf_dir, cpus, amplify, repeat=2, master=masters.get(cpus))
             print(json.dumps(r), flush=True)
             if cpus not in results or r["value"] > results[cpus]["value"]:
