@@ -480,6 +480,37 @@ def q_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_audio_resample(spark, sf_dir):
+    """Decimating resample through the driver gate: WAV payloads from
+    synth_decodable_media are decoded, every 2nd frame kept (all
+    channels), re-encoded at rate//2 and re-decoded; the reported
+    integer aggregates describe the re-encoded stream, so a hash match
+    proves the whole decode->stride->encode->decode loop is sample-
+    exact. Oracle: closed-form interleaved-sample arithmetic over the
+    kept frame indices."""
+    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    return multimodal.audio_resample(media, factor=2)
+
+
+def _sql_audio_resample() -> str:
+    return (
+        "WITH wav AS (SELECT doc_id, (doc_id // 2) % 2 + 1 AS ch, "
+        "doc_id % 50 + 10 AS n, 8000 + (doc_id % 4) * 4000 AS rate "
+        "FROM documents WHERE doc_id % 6 = 1), "
+        # kept frames are f = 2g for g < ceil(n/2); interleaved sample
+        # index of (frame f, channel c) is f*ch + c
+        "g AS (SELECT doc_id, ch, rate, n, unnest(range(0, (n+1)//2)) AS gi FROM wav), "
+        "gc AS (SELECT doc_id, ch, rate, n, gi, unnest(range(0, ch)) AS c FROM g), "
+        "v AS (SELECT doc_id, ch, rate, n, "
+        "(doc_id*13 + (2*gi*ch + c)*7) % 4096 - 2048 AS s FROM gc) "
+        "SELECT doc_id, CAST(MAX(rate) // 2 AS INT) AS rate_out, "
+        "CAST((MAX(n)+1)//2 AS INT) AS n_frames_out, "
+        "CAST(MAX(ch) AS INT) AS n_channels, "
+        "CAST(SUM(s) AS BIGINT) AS sum_s, CAST(SUM(abs(s)) AS BIGINT) AS sum_abs "
+        "FROM v GROUP BY doc_id"
+    )
+
+
 def q_media_probe(spark, sf_dir):
     """Container-metadata probe through the driver gate: six container
     formats (bmp/wav/png/jpeg/avi + a metadata-only mp4 ISO-BMFF stub)
@@ -693,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "audio_energy": q_audio_energy,
         "media_probe": q_media_probe,
+        "audio_resample": q_audio_resample,
     }
 
 
@@ -1749,4 +1781,5 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _sql_video_frames(),
         "audio_energy": _sql_audio_energy(),
         "media_probe": _sql_media_probe(),
+        "audio_resample": _sql_audio_resample(),
     }

@@ -807,6 +807,68 @@ def audio_energy_windows(media: DataFrame, win: int = 256) -> DataFrame:
     )
 
 
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("rate_out", IntegerType()),
+        StructField("n_frames_out", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sum_s", LongType()),
+        StructField("sum_abs", LongType()),
+    ]
+)
+
+
+def audio_resample(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-decimation resample over REAL-decoded WAV payloads (keep
+    every ``factor``-th frame, all channels; rate_out = rate // factor)
+    — the cheap anti-aliasing-free downsample used to normalize mixed-
+    rate audio corpora before feature extraction. The output payload is
+    re-encoded PCM (same encode_wav the fixtures use); this operator
+    reports the decoded-domain integer aggregates of the RESAMPLED
+    stream (sum, sum|x|) so the whole decode->stride->re-encode->
+    re-decode loop is exact-checkable cross-engine. Non-WAV rows drop."""
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "rate_out", "n_frames_out", "n_channels",
+                    "sum_s", "sum_abs",
+                )
+            }
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                out = samples[::factor]
+                # round-trip through the encoder: the reported aggregates
+                # describe what a DOWNSTREAM reader of the re-encoded
+                # payload would see, not an internal array
+                out2, rate2 = decode_wav(encode_wav(out, rate=rate // factor))
+                a = out2.astype(np.int64)
+                rows["doc_id"].append(int(doc_id))
+                rows["rate_out"].append(rate2)
+                rows["n_frames_out"].append(a.shape[0])
+                rows["n_channels"].append(a.shape[1])
+                rows["sum_s"].append(int(a.sum()))
+                rows["sum_abs"].append(int(np.abs(a).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        gen, AUDIO_RESAMPLE_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of each
     payload (what video frame extraction produces), fully vectorized via

@@ -385,3 +385,22 @@ def test_audio_energy_windows_stereo_fold_and_ragged_tail(spark):
         assert rows[wi]["n_samples"] == len(seg)
         assert rows[wi]["mean_abs_x100"] == int(np.abs(seg).sum()) * 100 // len(seg)
         assert rows[wi]["sum_sq"] == int((seg * seg).sum())
+
+
+def test_audio_resample_stride_and_reencode_exact(spark):
+    """Decimation keeps frames 0,2,4,... across ALL channels, and the
+    re-encode/re-decode loop is sample-exact (16-bit PCM round trip)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    s = np.array([[i * 100 - 800, -i * 50] for i in range(9)], dtype=np.int64)
+    payload = multimodal.encode_wav(s, rate=16000)
+    media = spark.createDataFrame(
+        [Row(doc_id=5, media_type="audio/wav", payload=bytearray(payload))]
+    )
+    r = multimodal.audio_resample(media, factor=2).collect()[0]
+    kept = s[::2]
+    assert r["rate_out"] == 8000
+    assert (r["n_frames_out"], r["n_channels"]) == (5, 2)
+    assert r["sum_s"] == int(kept.sum())
+    assert r["sum_abs"] == int(np.abs(kept).sum())
