@@ -38,19 +38,41 @@ def _shingle_hash(i: int, hash_fn: str) -> Column:
     return F.xxhash64(F.col("shingle"), F.lit(i))
 
 
-def _slot_exprs(sh: DataFrame, num_hashes: int, hash_fn: str):
-    """(shingle_df, slot-expression list) for the signature aggregation.
+def _slot_exprs(ss: DataFrame, num_hashes: int, hash_fn: str):
+    """(shingle-SET df, per-ROW slot expressions): slot i is
+    array_min over the doc's shingle array — MinHash with NO aggregation
+    shuffle at all (the whole signature computes inside one projection).
 
-    The xxhash64 path hashes each shingle STRING once into a base column
-    and derives every slot as xxhash64(base, i) over the 8-byte long —
-    64 string hashes per shingle row become 1 string hash + 64 long
-    hashes (~2x cheaper signatures, same independence properties since
-    xxhash64 mixes its seed). The md5 path is left byte-for-byte as the
-    driver oracle mirrors it (md5("i:" || shingle))."""
+    The xxhash64 path hashes each shingle STRING once into a base-hash
+    array and derives every slot as xxhash64(base, i) over 8-byte longs
+    (~2x cheaper than 64 string hashes; xxhash64 mixes its seed). The
+    md5 path stays byte-for-byte min(md5_long('i:' || shingle)) because
+    the driver oracle mirrors it."""
+    # F.transform passes (element, ARRAY-INDEX) to any TWO-argument
+    # lambda — a `lambda b, i=i:` default-arg closure silently gets its
+    # slot seed overwritten by the element index (all 64 slots collapse
+    # to the same value; caught by the signature-equality test). Build
+    # one-argument lambdas through a factory instead.
     if hash_fn == "md5":
-        return sh, [_shingle_hash(i, "md5") for i in range(num_hashes)]
-    sh = sh.withColumn("sbase", F.xxhash64(F.col("shingle")))
-    return sh, [F.xxhash64(F.col("sbase"), F.lit(i)) for i in range(num_hashes)]
+
+        def md5_slot(i):
+            return lambda s: md5_long(F.concat(F.lit(f"{i}:"), s))
+
+        return ss, [
+            F.array_min(F.transform(F.col("sh_set"), md5_slot(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    ss = ss.withColumn(
+        "hbase", F.transform(F.col("sh_set"), lambda s: F.xxhash64(s))
+    )
+
+    def xx_slot(i):
+        return lambda b: F.xxhash64(b, F.lit(i))
+
+    return ss, [
+        F.array_min(F.transform(F.col("hbase"), xx_slot(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -68,16 +90,29 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (the inverted index)."""
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_set) with the DISTINCT word n-gram shingles of each
+    document as one array — deduped per-row with array_distinct, so
+    building the set is embarrassingly parallel: ZERO shuffle (the old
+    explode + .distinct() shuffled the whole shingle corpus). Docs
+    shorter than n words keep an empty array."""
     words = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    shingle = F.explode(
+    arr = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     )
-    return docs.select("doc_id", shingle.alias("shingle")).distinct()
+    return docs.select("doc_id", arr.alias("sh_set"))
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (the exploded inverted
+    index) — per-row array_distinct then explode; no corpus-wide
+    distinct shuffle."""
+    return shingle_sets(docs, n).select(
+        "doc_id", F.explode("sh_set").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -151,9 +186,9 @@ def minhash_signatures(
     num_hashes min() columns over the shingle set. ``hash_fn`` picks
     xxhash64 (production) or md5 (cross-engine-exact, see md5_long).
     """
-    sh, slots = _slot_exprs(word_shingles(docs, n), num_hashes, hash_fn)
-    aggs = [F.min(s).alias(f"h{i}") for i, s in enumerate(slots)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1)
+    ss, slots = _slot_exprs(ss, num_hashes, hash_fn)
+    return ss.select("doc_id", *slots)
 
 
 def minhash_lsh_pairs(
@@ -172,15 +207,19 @@ def minhash_lsh_pairs(
     1-(1-t^r)^b (r=4, b=16: ~1-3e-8 at t=0.8, ~0.9997 at t=0.5).
     Candidates come from band-bucket self-joins (shuffle keys are content
     hashes — skew-free); verification joins candidate pairs back to the
-    shingle index so intersection counts are computed only for pairs that
-    share a bucket. Output equals brute force whenever recall holds.
+    per-doc shingle arrays so intersections are computed only for pairs
+    that share a bucket. Output equals brute force whenever recall holds.
+
+    Plan shape at 100 TB: shingle sets, base hashes and ALL signature
+    slots compute per-row inside one projection (array_distinct +
+    array_min(transform(...)) — zero shuffle); the ONLY exchanges are
+    the band-bucket self-join and the two candidate->set lookups.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = word_shingles(docs, n).cache()
-    shh, slots = _slot_exprs(sh, num_hashes, hash_fn)
-    aggs = [F.min(s).alias(f"h{i}") for i, s in enumerate(slots)]
-    sig = shh.groupBy("doc_id").agg(*aggs)
+    ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1).cache()
+    sss, slots = _slot_exprs(ss, num_hashes, hash_fn)
+    sig = sss.select("doc_id", *slots)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
     # over signatures instead of `bands` unioned scans). The md5 variant
@@ -216,16 +255,13 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification restricted to candidates: fold the (distinct)
-    # shingle index to one set-array per doc, join each candidate pair to
-    # its two sets, and intersect in-row with array_intersect. One
-    # doc_id-keyed groupBy replaces two shuffles of the full shingle
-    # corpus by (doc, shingle) — strictly fewer bytes moved at 100 TB
-    # (sets are bounded by doc length; the per-pair intersect is O(|A|+
-    # |B|) on sorted-hash arrays JVM-side, no Python).
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
-    pa = sets.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
-    pb = sets.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    # exact verification restricted to candidates: join each candidate
+    # pair to its two cached per-doc shingle arrays and intersect in-row
+    # with array_intersect — no shuffle of any per-shingle table exists
+    # anywhere in this pipeline (sets are bounded by doc length; the
+    # per-pair intersect runs JVM-side, no Python).
+    pa = ss.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    pb = ss.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
     return (
         candidates.join(pa, "id_a")
         .join(pb, "id_b")

@@ -177,3 +177,46 @@ def test_lsh_topk_sf001_corpus_planted_recall_and_exact_scores(spark):
         assert key in brute_all and brute_all[key] == cos, key
     found = sum(1 for q, dup in planted if (q, dup) in lsh)
     assert found >= 0.9 * len(planted), (found, len(planted))
+
+
+def test_minhash_array_signatures_equal_groupby_reference(spark):
+    """The shuffle-free array_min(transform(...)) signature path must be
+    byte-identical to the explode+groupBy(min) reference on BOTH hash
+    families. Pinned because F.transform silently passes the ARRAY INDEX
+    to two-argument lambdas — a default-arg closure (`lambda b, i=i:`)
+    loses its per-slot seed and every slot collapses to the same value
+    (precision survives, recall silently drops; this test is what caught
+    it)."""
+    from pyspark.sql import functions as F
+
+    from aws_log_ingestion_spark.operators import dedup
+    from aws_log_ingestion_spark.operators.dedup import md5_long
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(150)
+    sh = dedup.word_shingles(docs, 3).withColumn("sbase", F.xxhash64("shingle"))
+    ref = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(16)]
+        for r in sh.groupBy("doc_id")
+        .agg(*[F.min(F.xxhash64(F.col("sbase"), F.lit(i))).alias(f"h{i}") for i in range(16)])
+        .collect()
+    }
+    new = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(16)]
+        for r in dedup.minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert new == ref
+    refm = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(4)]
+        for r in dedup.word_shingles(docs, 3)
+        .groupBy("doc_id")
+        .agg(*[
+            F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(4)
+        ])
+        .collect()
+    }
+    newm = {
+        r["doc_id"]: [r[f"h{i}"] for i in range(4)]
+        for r in dedup.minhash_signatures(docs, num_hashes=4, hash_fn="md5").collect()
+    }
+    assert newm == refm
