@@ -152,9 +152,25 @@ def _lang_counts(text: Column) -> dict[str, Column]:
 
 
 def pred_lang_col(text: Column) -> Column:
-    """The predicted-language label as one Column expression — shared by
-    ``lang_id`` and the one-pass ``curate`` composition."""
+    """The predicted-language label as ONE Column expression.
+
+    PERF TRAP (measured 13x): the when-chain references every language
+    count (and greatest() references all four) so this single tree
+    replicates the ~60-replace trigram arithmetic many times, and
+    Catalyst's subexpression elimination cannot hoist expressions out of
+    conditional branches — 128 s vs 9.7 s at 100k docs against the
+    two-stage form. Use ``pred_from_counts`` over materialized count
+    COLUMNS (a projection boundary that CollapseProject keeps, because
+    the aliases are non-cheap and multiply referenced) wherever the
+    input is a DataFrame; this one-Column form remains only for contexts
+    that genuinely need a standalone expression."""
     counts = _lang_counts(text)
+    return pred_from_counts(text, {l: c for l, c in counts.items()})
+
+
+def pred_from_counts(text: Column, counts: dict[str, Column]) -> Column:
+    """when-chain + script-class override over ALREADY-MATERIALIZED
+    per-language count columns (see pred_lang_col's perf note)."""
     best = F.greatest(*counts.values())
     pred = (
         F.when(best == 0, "unknown")
@@ -178,14 +194,23 @@ def lang_id(docs: DataFrame) -> DataFrame:
     words decide; the trigram profile scores break ties and cover
     marker-free text."""
     counts = _lang_counts(F.col("text"))
-    pred = pred_lang_col(F.col("text"))
-    out = docs.select(
+    # two-stage: counts materialize ONCE, the when-chain reads columns
+    # (see pred_lang_col's perf note — 13x)
+    staged = docs.select(
         "doc_id",
+        "text",
         F.col("lang").alias("labeled_lang"),
         *[c.alias(f"c_{lang}") for lang, c in counts.items()],
+    )
+    pred = pred_from_counts(
+        F.col("text"), {lang: F.col(f"c_{lang}") for lang in counts}
+    )
+    return staged.select(
+        "doc_id",
+        "labeled_lang",
+        *[f"c_{lang}" for lang in counts],
         pred.alias("pred_lang"),
     )
-    return out
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:
@@ -283,11 +308,22 @@ def curate(
     # window over the content hash. Measured 6x faster than the join
     # formulation at 25k docs, identical output.
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    base = docs.select(
+    counts = _lang_counts(F.col("text"))
+    # lang counts materialize in their own projection, pred reads the
+    # columns (pred_lang_col's perf note: the fused form replicates the
+    # trigram arithmetic across when-branches — 13x slower)
+    staged = docs.select(
+        "doc_id",
+        "text",
+        *[c.alias(f"__c_{lang}") for lang, c in counts.items()],
+    )
+    base = staged.select(
         "doc_id",
         F.md5(norm).alias("text_hash"),
         quality_col(F.col("text")).alias("quality"),
-        pred_lang_col(F.col("text")).alias("pred_lang"),
+        pred_from_counts(
+            F.col("text"), {lang: F.col(f"__c_{lang}") for lang in counts}
+        ).alias("pred_lang"),
         F.size(words).alias("n_ws_tokens"),
         dup_frac.alias("dup_word_frac_x1000"),
     )
