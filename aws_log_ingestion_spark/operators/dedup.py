@@ -38,41 +38,55 @@ def _shingle_hash(i: int, hash_fn: str) -> Column:
     return F.xxhash64(F.col("shingle"), F.lit(i))
 
 
-def _slot_exprs(ss: DataFrame, num_hashes: int, hash_fn: str):
-    """(shingle-SET df, per-ROW slot expressions): slot i is
-    array_min over the doc's shingle array — MinHash with NO aggregation
-    shuffle at all (the whole signature computes inside one projection).
+def _sig_array(ss: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
+    """Adds a ``sig`` column: the whole MinHash signature as ONE
+    array<long> — slot i = array_min over the doc's shingle array of
+    hash_i(shingle). No aggregation shuffle at all, and — just as
+    important — ONE nested higher-order expression instead of
+    ``num_hashes`` sibling expressions: 64 separate array_min(transform)
+    columns generate so much Janino code that a fresh session spends
+    ~30 s COMPILING the projection (first-call 43.9 s vs warm 14.4 s at
+    100k docs — caught because bench, which always runs in a fresh
+    session, never saw the warm number). The loop over slots lives in
+    the data (transform over sequence(0, n-1)), so the generated method
+    stays small and compiles instantly.
 
     The xxhash64 path hashes each shingle STRING once into a base-hash
-    array and derives every slot as xxhash64(base, i) over 8-byte longs
-    (~2x cheaper than 64 string hashes; xxhash64 mixes its seed). The
-    md5 path stays byte-for-byte min(md5_long('i:' || shingle)) because
-    the driver oracle mirrors it."""
-    # F.transform passes (element, ARRAY-INDEX) to any TWO-argument
-    # lambda — a `lambda b, i=i:` default-arg closure silently gets its
-    # slot seed overwritten by the element index (all 64 slots collapse
-    # to the same value; caught by the signature-equality test). Build
-    # one-argument lambdas through a factory instead.
+    array and derives slot i as xxhash64(base, i) over 8-byte values
+    (xxhash64 mixes all its arguments; the sequence element is an INT
+    exactly like F.lit(i), so values equal the per-column formulation —
+    pinned by the signature-equality test). The md5 path stays
+    byte-for-byte min(md5_long('i:' || shingle)) because the driver
+    oracle mirrors it.
+
+    NOTE the two-argument-lambda trap that motivated the equality test:
+    F.transform passes (element, ARRAY-INDEX) to any 2-arg lambda, so a
+    `lambda b, i=i:` closure silently loses its seed. Here the slot
+    index is a REAL lambda variable (from sequence), not a closure."""
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     if hash_fn == "md5":
-
-        def md5_slot(i):
-            return lambda s: md5_long(F.concat(F.lit(f"{i}:"), s))
-
-        return ss, [
-            F.array_min(F.transform(F.col("sh_set"), md5_slot(i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        sig = F.transform(
+            idx,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh_set"),
+                    lambda s: md5_long(
+                        F.concat(i.cast("string"), F.lit(":"), s)
+                    ),
+                )
+            ),
+        )
+        return ss.withColumn("sig", sig)
     ss = ss.withColumn(
         "hbase", F.transform(F.col("sh_set"), lambda s: F.xxhash64(s))
     )
-
-    def xx_slot(i):
-        return lambda b: F.xxhash64(b, F.lit(i))
-
-    return ss, [
-        F.array_min(F.transform(F.col("hbase"), xx_slot(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    sig = F.transform(
+        idx,
+        lambda i: F.array_min(
+            F.transform(F.col("hbase"), lambda b: F.xxhash64(b, i))
+        ),
+    )
+    return ss.withColumn("sig", sig)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -97,13 +111,21 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     explode + .distinct() shuffled the whole shingle corpus). Docs
     shorter than n words keep an empty array."""
     words = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    arr = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    )
-    return docs.select("doc_id", arr.alias("sh_set"))
+    # n-grams as (n-1) zip_with folds over n equal-length shifted slices
+    # — O(L) per doc. The obvious transform(idx, i -> concat_ws(slice(
+    # words, i, n))) copies an O(L) suffix per position (O(L^2) per doc)
+    # and per-element F.get is ~15x slower than zip_with; measured at
+    # 100k docs: zip 1.7 s vs slice 12.3 s vs get 29.9 s for the same
+    # arrays. All slices share one length, so zip_with never null-pads.
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    arr = F.slice(words, 1, m)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice(words, j + 1, m),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return docs.select("doc_id", F.array_distinct(arr).alias("sh_set"))
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -187,8 +209,14 @@ def minhash_signatures(
     xxhash64 (production) or md5 (cross-engine-exact, see md5_long).
     """
     ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1)
-    ss, slots = _slot_exprs(ss, num_hashes, hash_fn)
-    return ss.select("doc_id", *slots)
+    ss = _sig_array(ss, num_hashes, hash_fn)
+    return ss.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_lsh_pairs(
@@ -218,24 +246,28 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1).cache()
-    sss, slots = _slot_exprs(ss, num_hashes, hash_fn)
-    sig = sss.select("doc_id", *slots)
+    sig = _sig_array(ss, num_hashes, hash_fn)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
-    # over signatures instead of `bands` unioned scans). The md5 variant
-    # keys buckets on the concatenated slot string (engine-portable);
+    # over signatures instead of `bands` unioned scans). Band keys read
+    # the signature ARRAY by index. The md5 variant keys buckets on the
+    # concatenated slot string (engine-portable; concat_ws casts the
+    # long slots to strings exactly like the old long columns did);
     # xxhash64 re-hashes to a compact 64-bit key.
+    def slot(k):
+        return F.element_at(F.col("sig"), k + 1)
+
     if hash_fn == "md5":
         band_arr = F.array(
             *[
-                F.concat_ws("|", *[F.col(f"h{b * r + j}") for j in range(r)])
+                F.concat_ws("|", *[slot(b * r + j) for j in range(r)])
                 for b in range(bands)
             ]
         )
     else:
         band_arr = F.array(
             *[
-                F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)], F.lit(b))
+                F.xxhash64(*[slot(b * r + j) for j in range(r)], F.lit(b))
                 for b in range(bands)
             ]
         )
