@@ -31,13 +31,6 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _shingle_hash(i: int, hash_fn: str) -> Column:
-    """Seeded shingle hash for MinHash slot ``i``."""
-    if hash_fn == "md5":
-        return md5_long(F.concat(F.lit(f"{i}:"), F.col("shingle")))
-    return F.xxhash64(F.col("shingle"), F.lit(i))
-
-
 def _sig_array(ss: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     """Adds a ``sig`` column: the whole MinHash signature as ONE
     array<long> — slot i = array_min over the doc's shingle array of
@@ -52,12 +45,13 @@ def _sig_array(ss: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     stays small and compiles instantly.
 
     The xxhash64 path hashes each shingle STRING once into a base-hash
-    array and derives slot i as xxhash64(base, i) over 8-byte values
-    (xxhash64 mixes all its arguments; the sequence element is an INT
-    exactly like F.lit(i), so values equal the per-column formulation —
-    pinned by the signature-equality test). The md5 path stays
-    byte-for-byte min(md5_long('i:' || shingle)) because the driver
-    oracle mirrors it.
+    array and derives slot i as xxhash64(base, i) over 8-byte values —
+    a DELIBERATE change of hash family from the earlier per-slot
+    xxhash64(shingle, i) (signatures/buckets are NOT value-compatible
+    with that revision; nothing persists signatures, so only the
+    in-repo tests define the reference, and the signature-equality test
+    pins this exact formulation). The md5 path stays byte-for-byte
+    min(md5_long('i:' || shingle)) because the driver oracle mirrors it.
 
     NOTE the two-argument-lambda trap that motivated the equality test:
     F.transform passes (element, ARRAY-INDEX) to any 2-arg lambda, so a

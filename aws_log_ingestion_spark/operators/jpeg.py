@@ -255,6 +255,17 @@ def _decode_jpeg(payload: bytes):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
                 comp = next(x for x in sof["comps"] if x["id"] == cs)
                 scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
+            # Baseline guard (ADVICE r4): a legal multi-scan baseline JPEG
+            # (first SOS covers a subset of the frame components) would
+            # otherwise decode to a silently-wrong partial image, and a
+            # single-component scan with sampling factors > 1 uses the
+            # spec's non-interleaved one-block-per-MCU layout, not the
+            # interleaved tiling below — both must hit the caller's
+            # per-row fallback instead.
+            if len(scan) != len(sof["comps"]):
+                raise ValueError("unsupported JPEG: scan does not cover all frame components")
+            if ns == 1 and (scan[0]["h"] > 1 or scan[0]["v"] > 1):
+                raise ValueError("unsupported JPEG: non-interleaved single-component scan")
             data_start = pos + 2 + seg_len
             return _decode_scan(
                 payload, data_start, sof, scan, qt, huff, restart_interval

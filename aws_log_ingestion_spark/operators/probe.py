@@ -200,10 +200,13 @@ def probe_media(payload: bytes):
     for sniff in _SNIFFERS:
         try:
             return sniff(payload)
-        except ValueError:
+        except (ValueError, struct.error, IndexError):
+            # A sniffer that blew up past its magic check must not abort
+            # the whole probe: magic prefixes overlap (RIFF serves both
+            # WAV and AVI, and _probe_wav runs first), so a truncated
+            # RIFF/AVI header would otherwise be reported as
+            # malformed-by-WAV instead of probed as AVI (ADVICE r4).
             continue
-        except (struct.error, IndexError) as exc:
-            raise ValueError(f"malformed container: {exc}") from exc
     raise ValueError("unknown media container")
 
 

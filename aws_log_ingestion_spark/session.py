@@ -106,10 +106,12 @@ def get_spark(
         # instead of a serial driver-side job-commit rename pass —
         # interleaved A/B on the 4x2-executor arm: 26.1s/181.7 CPU-s vs
         # 29.4s/203.7 base (~11% both measures; v2 won every rep). Safe
-        # here because every sink write is gated by the checkpoint
-        # manifest and fresh-start truncate (operators/checkpoint.py):
-        # a mid-job failure's partial files are truncated on resume, so
-        # v2's weaker failure atomicity costs nothing.
+        # for the BATCH sinks because every batch write is gated by the
+        # checkpoint manifest and fresh-start truncate
+        # (operators/checkpoint.py): a mid-job failure's partial files
+        # are truncated on resume. The streaming foreachBatch sinks have
+        # no such truncate gate, so stream_job.py pins its appends back
+        # to committer v1 per-write (ADVICE r4).
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config(

@@ -30,19 +30,27 @@ def make_batch_processor(conv_meta: DataFrame, out_dir: str, cfg: PipelineConfig
     """The foreachBatch function: identical dataflow to plans/job.py."""
     cfg = cfg or PipelineConfig()
 
+    # The session default is committer v2 (fast, but a mid-batch failure
+    # can leave partial task files visible); the batch job's checkpoint
+    # truncate gate cleans those up, but these streaming appends have no
+    # truncate gate — pin them back to v1 so only a whole-batch replay
+    # (the existing at-least-once story) can duplicate rows (ADVICE r4).
+    _v1 = {"mapreduce.fileoutputcommitter.algorithm.version": "1"}
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         hub = enrich(classify(batch_df, cfg), conv_meta)
         if cfg.infra_enabled:
-            infra_union(hub, cfg).sortWithinPartitions(
+            iu = infra_union(hub, cfg)
+            iu.sortWithinPartitions(
                 "sink", "conv_id", "turn_idx"
             ).write.mode("append").options(
-                **parquet_text_options(hub)
+                **parquet_text_options(iu), **_v1
             ).partitionBy("sink").parquet(f"{out_dir}/infra")
         if cfg.logging_enabled:
             mp = melt_project(hub, cfg)
-            mp.write.mode("append").options(**parquet_text_options(mp)).parquet(
-                f"{out_dir}/logging"
-            )
+            mp.write.mode("append").options(
+                **parquet_text_options(mp), **_v1
+            ).parquet(f"{out_dir}/logging")
 
     return process
 

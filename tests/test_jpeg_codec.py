@@ -124,6 +124,35 @@ def test_decoder_rejects_progressive_and_junk():
         decode_jpeg(base[:-10])
 
 
+def test_decoder_rejects_partial_and_noninterleaved_scans():
+    """ADVICE r4: legal baseline variants this decoder does not implement
+    must raise (-> per-row fallback), never silently decode wrong.
+
+    (a) multi-scan baseline: first SOS covers only Y of a 3-component
+    frame — previously decoded to a grayscale Y-plane; (b) Ns==1 scan of
+    a component with sampling factors > 1 uses the spec's non-interleaved
+    one-block-per-MCU layout, not the interleaved tiling implemented."""
+    color = encode_jpeg(np.zeros((16, 16, 3), dtype=np.uint8), subsample=True)
+    i = color.find(b"\xff\xda")
+    assert i > 0
+    # splice an SOS covering ONLY component 1 (Y): Ns=1, tables 0/0
+    partial_sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    end = i + 2 + struct.unpack_from(">H", color, i + 2)[0]
+    with pytest.raises(ValueError, match="scan does not cover"):
+        decode_jpeg(color[:i] + partial_sos + color[end:])
+    # (b): shrink SOF to ONE component keeping Y's h=v=2 sampling, then
+    # the same Ns=1 scan is non-interleaved per T.81
+    j = color.find(b"\xff\xc0")
+    sof_len = struct.unpack_from(">H", color, j + 2)[0]
+    prec, h, w, _n = struct.unpack_from(">BHHB", color, j + 4)
+    sof1 = _seg(0xC0, struct.pack(">BHHB", prec, h, w, 1) + bytes([1, 0x22, 0]))
+    gray_hv2 = (
+        color[:j] + sof1 + color[j + 2 + sof_len : i] + partial_sos + color[end:]
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(gray_hv2)
+
+
 def test_decode_media_and_features_route_jpeg(spark):
     from pyspark.sql import functions as F
 

@@ -46,6 +46,24 @@ def test_probe_rejects_unknown_and_truncated():
         probe_media(trunc)
 
 
+def test_probe_sniffer_crash_does_not_mask_later_sniffers():
+    """ADVICE r4: RIFF magic serves both WAV and AVI and _probe_wav runs
+    first — if a payload makes an earlier sniffer blow up with
+    struct.error/IndexError past its magic check, later sniffers must
+    still get their turn (here: a real AVI must probe as AVI even though
+    the WAV sniffer choked on the shared RIFF prefix)."""
+    from aws_log_ingestion_spark.operators.avi import encode_avi_mjpeg
+    import numpy as np
+
+    img = np.arange(7 * 4 * 3, dtype=np.uint8).reshape(4, 7, 3)
+    avi = encode_avi_mjpeg([img, img], fps=10)
+    assert probe_media(avi)[0] == "riff-avi"
+    # and a truncated RIFF that defeats every sniffer reports the generic
+    # unknown-container error, not one sniffer's internal crash
+    with pytest.raises(ValueError, match="unknown media container"):
+        probe_media(b"RIFF\x10\x00\x00\x00")
+
+
 def test_mp4_64bit_largesize_and_v1_boxes():
     """Box walk must honor largesize=1 + 64-bit length, and v1 mvhd/tkhd
     layouts (8-byte times) — hand-built here, independent of the stub."""
