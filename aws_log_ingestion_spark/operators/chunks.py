@@ -530,6 +530,92 @@ def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None)
     )
 
 
+def chunk_census(
+    df: DataFrame,
+    path: str,
+    cfg: PipelineConfig | None = None,
+    caps: list[tuple[str, int]] | None = None,
+    ratio: int = C.GZIP_MAX_RATIO,
+) -> DataFrame:
+    """Per-sink PROOF census of the chunk recursion at one or more caps —
+    the exactly-oracle-able face of the gzip chunk stage (VERDICT r4 #3).
+
+    For each (cap, sink) bucket, classifies every conversation's
+    top-level payload by pure raw-byte arithmetic (zero gzip, zero
+    Python):
+
+    - ``n_single_proved``: gz_len_upper_bound(raw) < cap — the reference
+      recursion (/root/reference/src/function.py:309-323) PROVABLY emits
+      exactly one chunk, so these contribute exactly ``n_single_proved``
+      chunks (``n_chunks_proved``).
+    - ``n_split_proved``: raw >= cap*ratio — gz >= raw/1032 >= cap, the
+      recursion provably splits (>= 2 chunks).
+    - ``n_ambiguous``: the band between the proofs, where the true count
+      genuinely requires compressing bytes (chunk_replay's job — the
+      rows-only gz-totals query).
+
+    At the production 1 MB cap every synthetic conversation is proved
+    single, so n_chunks_proved == n_convs — the real n_chunks total,
+    SQL-oracle-able end to end; at a forced-split cap (2000 B) the same
+    arithmetic honestly reports everything ambiguous. One shuffle
+    (conv_id agg); each extra cap is a re-aggregation of the tiny
+    per-conversation frame, not a rescan.
+    """
+    cfg = cfg or PipelineConfig()
+    caps = caps or [("default", cfg.max_payload_size)]
+    from ..functions import jsoncost as jc
+
+    staged = _staged_with_costs(df, path, cfg)
+    per_conv = (
+        staged.groupBy("conv_id")
+        .agg(
+            F.first("sink").alias("sink"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cost").alias("__cost_sum"),
+            F.first("__empty").alias("__empty"),
+        )
+        .withColumn(
+            "raw_bytes",
+            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
+        )
+    )
+    legs = []
+    for cap_name, cap in caps:
+        fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), cap).cast("long")
+        split = (F.col("raw_bytes") >= F.lit(cap * ratio)).cast("long")
+        legs.append(
+            per_conv.groupBy("sink")
+            .agg(
+                F.count(F.lit(1)).alias("n_convs"),
+                F.sum("n_events").alias("n_events"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum(fits).alias("n_single_proved"),
+                F.sum(split).alias("n_split_proved"),
+            )
+            .select(
+                F.lit(cap_name).alias("cap"),
+                "sink",
+                F.lit(path).alias("path"),
+                "n_convs",
+                "n_events",
+                "raw_bytes",
+                "n_single_proved",
+                "n_split_proved",
+                (
+                    F.col("n_convs") - F.col("n_single_proved") - F.col("n_split_proved")
+                ).alias("n_ambiguous"),
+                F.col("n_single_proved").alias("n_chunks_proved"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.select(
+        "cap", "sink", "path", "n_convs", "n_events", "raw_bytes",
+        "n_single_proved", "n_split_proved", "n_ambiguous", "n_chunks_proved",
+    )
+
+
 def chunk_counts_fast(
     df: DataFrame,
     path: str,

@@ -6,9 +6,11 @@ enrich->route throughput in turns/sec, writes included — the exact
 production job from plans/job.py minus the chunk-replay stage (timed
 separately on a 5% conversation sample). The transcript input is
 materialised once (amplified ~AMPLIFYx from the sf events table), then
-the timed job runs REPEAT times into fresh dirs; min wall time is
-reported (this sandbox has co-tenant CPU noise with 2-5x wall-time
-variance on identical jobs; min measures the engine, not the neighbors).
+the timed job runs REPEAT+ times into fresh dirs, auto-extending until
+the two best walls agree within AGREE (this sandbox has co-tenant CPU
+noise with 2-5x wall-time variance on identical jobs). The headline is
+the best CONVERGED wall: min if corroborated by the second-best within
+AGREE, else the second-best — a lone lucky run is never the headline.
 
 Reproducibility measures (this box is SHARED, loadavg 2-20 from
 co-tenants; see BENCH/BASELINE.md):
@@ -79,9 +81,20 @@ REPEAT = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
 WARMUP = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
 # auto-extend repeats until the two best runs agree within this ratio (the
 # co-tenant-noise guard: a headline resting on ONE lucky run is rejected);
-# hard cap so a hopelessly loaded box still terminates
+# hard cap so a hopelessly loaded box still terminates. VERDICT r4 #1: the
+# headline is quoted from the best CONVERGED pair — if the guard never
+# binds by MAX_REPEAT, the SECOND-best wall is the headline (the lone best
+# is then an uncorroborated lucky run and is reported but not graded).
 AGREE = float(os.environ.get("SPARK_GRAFT_AGREE", "1.2"))
-MAX_REPEAT = int(os.environ.get("SPARK_GRAFT_MAX_REPEAT", "7"))
+MAX_REPEAT = int(os.environ.get("SPARK_GRAFT_MAX_REPEAT", "12"))
+# between-runs quiet-window gate: while the 1-min loadavg exceeds
+# QUIET_LOAD (co-tenant burst, or our own last run still decaying), sleep
+# in POLL-second steps before starting the next timed run, up to a TOTAL
+# wait budget across the whole bench — unattended driver runs still
+# terminate, quiet boxes pay nothing.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "0"))  # 0 = cpus/2
+QUIET_BUDGET = int(os.environ.get("SPARK_GRAFT_QUIET_BUDGET", "480"))
+QUIET_POLL = 20
 
 
 # SPARK_GRAFT_BUCKETED_INPUT=1: materialise the input as a conv_id-
@@ -249,15 +262,38 @@ def main() -> None:
         warm = []
         for i in range(WARMUP):  # discarded: codegen + python-worker spin-up
             warm.append(run_job(spark, in_path, meta, cfg, f"{work}/warm{i}"))
+
+        quiet_load = QUIET_LOAD or cpus / 2
+        quiet_budget = QUIET_BUDGET
+        quiet_waited = 0
+
+        def wait_quiet() -> None:
+            # our own tree is idle here, so load1 reads co-tenants plus
+            # the 1-min decay of our previous run
+            nonlocal quiet_budget, quiet_waited
+            while quiet_budget > 0:
+                load1 = float(open("/proc/loadavg").read().split()[0])
+                if load1 <= quiet_load:
+                    return
+                time.sleep(QUIET_POLL)
+                quiet_budget -= QUIET_POLL
+                quiet_waited += QUIET_POLL
+
         runs = []
         i = 0
         while True:
-            runs.append(run_job(spark, in_path, meta, cfg, f"{work}/out{i}"))
-            i += 1
             walls = sorted(r["timings"]["job_total"] for r in runs)
             converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
             if (i >= REPEAT and converged) or i >= MAX_REPEAT:
                 break
+            if not converged and i >= REPEAT:
+                wait_quiet()  # unconverged past REPEAT: co-tenant noise
+            runs.append(run_job(spark, in_path, meta, cfg, f"{work}/out{i}"))
+            i += 1
+        walls = sorted(r["timings"]["job_total"] for r in runs)
+        converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
+        # the graded wall: best when corroborated, second-best otherwise
+        headline_wall = walls[0] if converged else walls[1]
         best = min(runs, key=lambda r: r["timings"]["job_total"])
         counts = best["counts"]
 
@@ -313,8 +349,9 @@ def main() -> None:
             TA.rarity_score(docs_df).agg(F.sum("rarity_sum")).collect()
             rarity_time = time.time() - t0
 
-        tps = n_turns / best["timings"]["job_total"]
+        tps = n_turns / headline_wall
         queries = {k: round(v, 3) for k, v in best["timings"].items()}
+        queries["headline_wall"] = round(headline_wall, 3)
         queries["chunk_fast_full"] = round(chunk_fast_time, 3)
         queries["chunk_replay_5pct"] = round(chunk_time, 3)
         if docs_amp:
@@ -351,6 +388,8 @@ def main() -> None:
                     "pinned": os.environ.get("SPARK_GRAFT_PINNED") == "1",
                     "loadavg_start": load_start,
                     "loadavg_end": open("/proc/loadavg").read().split()[:3],
+                    "converged": converged,
+                    "quiet_waited_sec": quiet_waited,
                     "repeat": len(runs),
                     "sink_counts": {k: int(v) for k, v in counts.items()},
                 }

@@ -122,6 +122,49 @@ def test_chunk_totals_rollup(spark, template_df, template_meta_df):
     assert sum(r["n_events"] for r in totals) == template_df.count()
 
 
+def test_chunk_census_proofs_hold_against_replay(
+    spark, template_df, template_meta_df
+):
+    """The census's arithmetic PROOFS must be sound against the real
+    gzip replay at every cap: a proved-single (sink-level, all convs
+    proved) bucket has n_chunks == n_convs in the replay; a
+    proved-split conv can never replay to 1 chunk; and the bucket
+    counts (convs/events/raw) agree with the replay's own."""
+    from aws_log_ingestion_spark.operators.chunks import chunk_census
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    caps = [("big", 10_000_000), ("small", SMALL_CAP)]
+    cfg = PipelineConfig()
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    census = {
+        (r["cap"], r["sink"]): r.asDict()
+        for r in chunk_census(hub, "infra", cfg, caps=caps).collect()
+    }
+    for cap_name, cap in caps:
+        rcfg = PipelineConfig(max_payload_size=cap)
+        replay = {
+            r["sink"]: r.asDict()
+            for r in chunk_totals(chunk_replay(hub, "infra", rcfg)).collect()
+        }
+        for sink, rep in replay.items():
+            cen = census[(cap_name, sink)]
+            assert cen["n_convs"] == rep["n_convs"]
+            assert cen["n_events"] == rep["n_events"]
+            total = cen["n_single_proved"] + cen["n_split_proved"] + cen["n_ambiguous"]
+            assert total == cen["n_convs"]
+            if cen["n_ambiguous"] == 0 and cen["n_split_proved"] == 0:
+                # fully proved single: census n_chunks IS the replay total
+                assert cen["n_chunks_proved"] == rep["n_chunks"]
+            # soundness floor: every proved single is 1 chunk, every
+            # proved split >= 2, every ambiguous >= 1
+            assert rep["n_chunks"] >= (
+                cen["n_single_proved"] + 2 * cen["n_split_proved"] + cen["n_ambiguous"]
+            )
+    # the big cap must fully prove this corpus single (the production
+    # regime this census exists to certify)
+    assert all(c["n_ambiguous"] == 0 for (cp, _), c in census.items() if cp == "big")
+
+
 def test_approx_chunks_is_upper_bound_shapewise(spark, template_df):
     cfg = PipelineConfig(max_payload_size=SMALL_CAP)
     approx = approx_chunk_counts(classify(template_df, cfg), cfg).collect()
