@@ -220,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    length_prune: bool = True,
 ) -> DataFrame:
     """MinHash+LSH candidate generation, exact-Jaccard verification of
     CANDIDATES ONLY (never the full pair space — that is the point of
@@ -266,17 +267,31 @@ def minhash_lsh_pairs(
             ]
         )
     buckets = sig.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "band_hash")
+        "doc_id",
+        F.size("sh_set").alias("n_sh"),
+        F.posexplode(band_arr).alias("band", "band_hash"),
     )
     x = buckets.alias("x")
     y = buckets.alias("y")
-    candidates = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+    # length-ratio prune (VERDICT r4 #4), EXACT: J(A,B) <= min/max of the
+    # set sizes (inter <= min, union >= max), and the final filter keeps
+    # floor(inter*1000/union) >= T  =>  min*1000 >= T*max. Pairs failing
+    # the bound can never pass verification, so dropping them inside the
+    # bucket join — BEFORE the distinct() and the two set lookups —
+    # changes nothing but the candidate volume.
+    cond = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+    )
+    if length_prune:
+        T = int(threshold * 1000)
+        cond = cond & (
+            F.least(F.col("x.n_sh"), F.col("y.n_sh")) * 1000
+            >= F.greatest(F.col("x.n_sh"), F.col("y.n_sh")) * F.lit(T)
         )
+    candidates = (
+        x.join(y, cond)
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )

@@ -221,18 +221,34 @@ def test_rarity_score_hand_computed(spark):
     assert got[3].rarity_avg > got[2].rarity_avg > got[1].rarity_avg
 
 
-def test_curate_plan_single_exchange(spark):
-    """After the one-pass rewrite, curate must cost exactly ONE shuffle
-    (the content-hash dedup window) — no doc_id re-join may creep back."""
+def test_curate_plan_shapes(spark):
+    """Both dedup shapes keep the wide signal row off the exchange rail.
+
+    window (default): exactly ONE Exchange (the content-hash window),
+    no join — measured faster on this corpus (see curate docstring).
+    broadcast: exactly ONE narrow Exchange — the map-side-combined
+    (text_hash, doc_id) agg; the join back is a BroadcastHashJoin, so
+    the per-row signal projection never shuffles. And the two shapes
+    agree row-for-row."""
     import re
 
     from aws_log_ingestion_spark.operators.text_analysis import curate
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    plan = _plan_of(curate(docs))
+    plan_w = _plan_of(curate(docs))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan_w)) == 1, plan_w
+    assert "Join" not in plan_w
+
+    plan = _plan_of(curate(docs, dedup_join="broadcast"))
     n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert n_exchanges == 1, plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # partial agg before the exchange = map-side combine is in place
+    assert re.search(r"HashAggregate.*partial_min", plan, re.S), plan
+
+    a = curate(docs).orderBy("doc_id").collect()
+    b = curate(docs, dedup_join="broadcast").orderBy("doc_id").collect()
+    assert a == b
 
 
 def test_quantile_stats_hand_computed(spark):
