@@ -692,6 +692,13 @@ def q_line_dedup(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 entries — the driver's per-round sample size (r4 ran
+    # 55 and the last 5 registry rows got no CORRECTNESS gate rows).
+    # Same-grain per-doc operators share a slot via doc_id joins
+    # (lang_quality, token_fingerprint, repetition_boilerplate,
+    # corpus_quantiles); both chunk_raw_costs paths ride one path-tagged
+    # union. Every operator keeps its own oracle SQL, composed the same
+    # way in DuckDB, so per-operator value checking is undiluted.
     return {
         "transcripts_derive": q_transcripts_derive,
         "parse_flags": q_parse_flags,
