@@ -613,14 +613,19 @@ def _sql_audio_energy() -> str:
 
 
 def q_video_frames(spark, sf_dir):
-    """REAL video frame extraction through the driver gate: the MJPEG
-    AVI payloads from synth_decodable_media (DC-exact constant-gray
-    frames, see its docstring) are container-walked and per-frame
-    JPEG-decoded by operators/avi.py; one row per frame with dims and
-    the channel-0 mean. The oracle recomputes the constants by integer
-    arithmetic — a hash match proves the RIFF walk, the per-frame
-    Huffman decode and the frame ordering all byte-work end-to-end."""
-    media = multimodal.synth_decodable_media(_docs(spark, sf_dir))
+    """REAL video frame extraction through the driver gate, BOTH
+    containers: MJPEG AVI payloads from synth_decodable_media (RIFF
+    walk, operators/avi.py) unioned with Motion-JPEG MP4 payloads from
+    synth_mp4_media (ISO-BMFF sample-table demux — stsd/stsz/stco/stsc
+    — operators/mp4.py); every frame is DC-exact constant gray, one row
+    per frame with dims and the channel-0 mean. The oracle recomputes
+    the constants by integer arithmetic — a hash match proves the RIFF
+    walk, the mp4 box/sample-table demux, the per-frame Huffman decode
+    and the frame ordering all byte-work end-to-end."""
+    docs = _docs(spark, sf_dir)
+    media = multimodal.synth_decodable_media(docs).unionByName(
+        multimodal.synth_mp4_media(docs)
+    )
     return multimodal.video_frame_features(media)
 
 
@@ -629,11 +634,20 @@ def _sql_video_frames() -> str:
         "WITH avi AS (SELECT doc_id, doc_id % 4 + 2 AS n, "
         "(doc_id // 2) % 3 + 2 AS h, doc_id % 5 + 3 AS w "
         "FROM documents WHERE doc_id % 6 = 4), "
-        "f AS (SELECT doc_id, h, w, unnest(range(0, n)) AS i FROM avi) "
+        "mp4 AS (SELECT doc_id, (doc_id // 6) % 4 + 2 AS n, "
+        "(doc_id // 6) % 3 + 2 AS h, doc_id % 5 + 3 AS w "
+        "FROM documents WHERE doc_id % 6 = 2), "
+        "fa AS (SELECT doc_id, h, w, unnest(range(0, n)) AS i FROM avi), "
+        "fm AS (SELECT doc_id, h, w, unnest(range(0, n)) AS i FROM mp4) "
         "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
         "CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
         "CAST(((doc_id*9 + i*31) % 127) * 2 * 100 AS BIGINT) AS mean_x100 "
-        "FROM f"
+        "FROM fa "
+        "UNION ALL "
+        "SELECT doc_id, CAST(i AS INT) AS frame_idx, "
+        "CAST(h AS INT) AS height, CAST(w AS INT) AS width, "
+        "CAST(((doc_id*5 + i*29) % 127) * 2 * 100 AS BIGINT) AS mean_x100 "
+        "FROM fm"
     )
 
 

@@ -4,10 +4,10 @@ AVI is a RIFF container: ``RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
 strf)) LIST('movi' '00dc'*) idx1)``. With an ``MJPG`` video stream every
 ``00dc`` chunk is a standalone baseline JPEG, so the numpy JPEG codec
 (``operators/jpeg.py``) decodes real video frames with zero external
-dependencies. That makes ``video/avi`` the one video format this
-environment can decode for REAL; mp4/h264 still raise
-NotImplementedError in ``multimodal.decode_media`` (inter-frame codecs
-genuinely need ffmpeg).
+dependencies. The same trick serves Motion-JPEG MP4 via the ISO-BMFF
+demuxer in ``operators/mp4.py``; inter-frame codecs (h264/h265 in mp4)
+still raise NotImplementedError in ``multimodal.decode_media`` — they
+genuinely need ffmpeg.
 
 Decoder returns ``(frames, fps)`` where frames is a list of (H, W, 3)
 uint8 arrays (lists, not a 4-D array, so a malformed mid-stream frame

@@ -5,8 +5,11 @@ decode/feature-extraction runs as Arrow-batched ``mapInPandas``. Decode
 is REAL for the four formats a pure-Python parser can handle — BMP
 (24-bit BI_RGB), WAV (8/16-bit integer PCM), PNG (8-bit gray/RGB/
 palette/alpha via stdlib zlib + numpy unfiltering) and baseline JPEG
-(marker walk + Huffman + IDCT in numpy, ``operators/jpeg.py``) — while
-video (mp4) still raises NotImplementedError (no ffmpeg in this
+(marker walk + Huffman + IDCT in numpy, ``operators/jpeg.py``) — plus
+the two intra-frame video containers those codecs unlock: MJPEG-in-AVI
+(``operators/avi.py``) and Motion-JPEG MP4 (``operators/mp4.py``, a
+real ISO-BMFF demuxer over the sample tables). Inter-frame video
+(h264/h265 in mp4) still raises NotImplementedError (no ffmpeg in this
 container); the deterministic fake extractor stands in for that. The Spark-side plumbing (schema, batch iteration, partitioning,
 UDF signatures) is identical either way, which is the part that matters
 for the 100 TB design: binary columns stream through Arrow without
@@ -415,15 +418,62 @@ def synth_decodable_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(gen, DECODABLE_MEDIA_SCHEMA)
 
 
+def synth_mp4_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Motion-JPEG MP4 payloads from doc_id alone —
+    the driver-gate input exercising the ISO-BMFF demuxer
+    (operators/mp4.py) end-to-end. Takes the doc_id%6==2 residue (which
+    in ``synth_decodable_media`` carries PNGs, so unioning the two
+    generators keeps every doc's media set collision-free by (doc_id,
+    media_type)). Closed forms, all integer:
+
+      n_frames = (doc_id//6)%4+2, W = doc_id%5+3, H = (doc_id//6)%3+2,
+      fps = doc_id%4+4; frame i is constant gray
+      v_i = ((doc_id*5 + i*29) % 127) * 2 — even, so every sample is
+      DC-exact under the quality-50 quantizer (see synth_decodable_media)
+      and the lossy codec decodes to exactly v_i per frame. (Moduli are
+      chosen against the fixed doc_id%6==2 residue so each field really
+      varies — e.g. doc_id%3 would be the constant 2 here.)
+    """
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .mp4 import encode_mp4_mjpeg
+
+        for pdf in batches:
+            payloads = []
+            ids = [int(d) for d in pdf["doc_id"] if int(d) % 6 == 2]
+            for d in ids:
+                n = (d // 6) % 4 + 2
+                w, h = d % 5 + 3, (d // 6) % 3 + 2
+                frames = [
+                    np.full((h, w, 3), ((d * 5 + i * 29) % 127) * 2, np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(encode_mp4_mjpeg(frames, fps=d % 4 + 4, quality=50))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "media_type": ["video/mp4"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, DECODABLE_MEDIA_SCHEMA)
+
+
 def decode_media(payload: bytes, media_type: str):
     """Codec dispatch. REAL for the four formats a pure-Python parser
     can handle: image/bmp -> (H, W, 3) uint8 RGB; image/png -> (H, W, C)
     uint8 via stdlib zlib; image/jpeg -> baseline-DCT numpy decode
     (operators/jpeg.py); audio/wav -> (samples[n, ch] int32, rate).
     video/avi -> (frames list of (H, W, 3) uint8, fps) for MJPEG streams
-    (RIFF walk + per-frame JPEG decode, operators/avi.py). Inter-frame
-    video (mp4/h264) still raises NotImplementedError — those codecs
-    genuinely need libraries this container doesn't ship (ffmpeg)."""
+    (RIFF walk + per-frame JPEG decode, operators/avi.py); video/mp4 ->
+    the same for Motion-JPEG tracks (ISO-BMFF sample-table demux,
+    operators/mp4.py). Inter-frame video (h264/h265/vp9/av1 in mp4)
+    still raises NotImplementedError — those codecs genuinely need
+    libraries this container doesn't ship (ffmpeg)."""
     if media_type == "image/bmp":
         return decode_bmp(payload)
     if media_type == "image/png":
@@ -438,9 +488,15 @@ def decode_media(payload: bytes, media_type: str):
         from .avi import decode_avi_mjpeg
 
         return decode_avi_mjpeg(payload)
+    if media_type == "video/mp4":
+        from .mp4 import decode_mp4_mjpeg
+
+        # real for Motion-JPEG tracks; raises NotImplementedError itself
+        # for recognized inter-frame codecs (avc1/hvc1/... need ffmpeg)
+        return decode_mp4_mjpeg(payload)
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment; "
-        "bmp/png/jpeg/wav/avi(MJPEG) decode is real, others use fake_features()"
+        "bmp/png/jpeg/wav/avi+mp4(MJPEG) decode is real, others use fake_features()"
     )
 
 
@@ -553,7 +609,7 @@ def decoded_features(media: DataFrame) -> DataFrame:
                             float(int(img[:, :, c1].astype(np.int64).sum()) * 100 // n),
                         ]
                     )
-                elif mt == "video/avi":
+                elif mt in ("video/avi", "video/mp4"):
                     frames, fps = obj
                     h, w = frames[0].shape[0], frames[0].shape[1]
                     tot = sum(
@@ -632,20 +688,25 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
                         continue
                     except ValueError:
                         pass  # unparseable image -> byte-downsample fallback
-                elif mt == "video/avi":
+                elif mt in ("video/avi", "video/mp4"):
                     try:
-                        from .avi import decode_avi_mjpeg, encode_avi_mjpeg
+                        if mt == "video/avi":
+                            from .avi import decode_avi_mjpeg as dec
+                            from .avi import encode_avi_mjpeg as enc_v
+                        else:
+                            from .mp4 import decode_mp4_mjpeg as dec
+                            from .mp4 import encode_mp4_mjpeg as enc_v
 
-                        frames, fps = decode_avi_mjpeg(bytes(payload))
+                        frames, fps = dec(bytes(payload))
                         out_payload.append(
-                            encode_avi_mjpeg(
+                            enc_v(
                                 [resize_nn(f, target_w, target_h) for f in frames],
                                 fps=max(1, fps),
                             )
                         )
                         continue
-                    except ValueError:
-                        pass  # unparseable video -> byte-downsample fallback
+                    except (ValueError, NotImplementedError):
+                        pass  # unparseable/inter-frame video -> byte-downsample
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 ratio = max(1, int((int(w) * int(h)) / (target_w * target_h)))
                 out_payload.append(arr[::ratio].tobytes())
@@ -898,9 +959,11 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 def video_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
     """REAL frame extraction: decode each ``video/avi`` payload (RIFF
-    walk + per-frame MJPEG decode, operators/avi.py) and emit one row
-    per every_n-th frame with its dimensions and channel-0 mean (x100,
-    floor — integer-exact cross-engine). Non-AVI and unparseable rows
+    walk + per-frame MJPEG decode, operators/avi.py) and each
+    ``video/mp4`` payload (ISO-BMFF sample-table demux + per-sample
+    JPEG decode, operators/mp4.py) and emit one row per every_n-th
+    frame with its dimensions and channel-0 mean (x100, floor —
+    integer-exact cross-engine). Non-video and unparseable rows
     are dropped, mirroring what a frame-extraction stage feeding a
     vision pipeline does. mapInPandas generator: one in-flight Arrow
     batch per task, frames never ship whole to the driver — at 100 TB
@@ -916,7 +979,7 @@ def video_frame_features(media: DataFrame, every_n: int = 1) -> DataFrame:
             for doc_id, payload, mt in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
-                if mt != "video/avi":
+                if mt not in ("video/avi", "video/mp4"):
                     continue
                 try:
                     frames, _fps = decode_media(bytes(payload), mt)

@@ -13,9 +13,10 @@ module reads just enough of each container to report
 - AVI: avih dims + strh stream fourcc + frame count -> duration
 - MP4 (ISO BMFF): box walk — ftyp, moov/mvhd timescale+duration,
   moov/trak/tkhd dims, moov/trak/mdia/minf/stbl/stsd sample-entry
-  fourcc. This is the one format whose FRAMES this environment cannot
-  decode (no ffmpeg) but whose METADATA is fully parseable — the probe
-  is real; only decode stays NotImplementedError.
+  fourcc. Motion-JPEG tracks additionally FRAME-decode for real
+  (``operators/mp4.py``); inter-frame codecs (avc1/hvc1/...) keep
+  metadata-only probing here and NotImplementedError on decode — they
+  genuinely need ffmpeg.
 
 Unknown/corrupt payloads raise ValueError (callers drop or degrade the
 row, never the partition).

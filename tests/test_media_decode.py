@@ -89,8 +89,22 @@ def test_decode_media_dispatch():
     ).shape == (2, 2, 3)
     with pytest.raises(ValueError):  # bad signature -> fallback isolation
         multimodal.decode_media(b"\x89PNG....", "image/png")
-    with pytest.raises(NotImplementedError):  # genuinely codec-less format
+    # mp4 now dispatches to the real ISO-BMFF demuxer: Motion-JPEG
+    # tracks decode, inter-frame codecs stay honestly NotImplemented,
+    # structureless bytes are malformed (fallback isolation)
+    from aws_log_ingestion_spark.operators.mp4 import encode_mp4_mjpeg
+    from aws_log_ingestion_spark.operators.probe import encode_mp4_stub
+
+    frames, fps = multimodal.decode_media(
+        encode_mp4_mjpeg([np.full((2, 2, 3), 8, np.uint8)], fps=6), "video/mp4"
+    )
+    assert fps == 6 and (frames[0] == 8).all()
+    with pytest.raises(NotImplementedError):  # h264 genuinely needs ffmpeg
+        multimodal.decode_media(encode_mp4_stub(8, 8, 100, b"avc1"), "video/mp4")
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+    with pytest.raises(NotImplementedError):  # genuinely codec-less type
+        multimodal.decode_media(b"anything", "application/octet-stream")
 
 
 def test_decoded_features_through_spark(spark):

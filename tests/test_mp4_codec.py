@@ -1,0 +1,152 @@
+"""Motion-JPEG MP4 codec tests: ISO-BMFF round trips, sample-table
+reconstruction, inter-frame refusal, malformed isolation, and the
+Spark-side video operators over the mp4 fixture generator."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.operators import multimodal
+from aws_log_ingestion_spark.operators.mp4 import (
+    _sample_extents,
+    decode_mp4_mjpeg,
+    encode_mp4_mjpeg,
+)
+from aws_log_ingestion_spark.operators.probe import encode_mp4_stub, probe_media
+
+
+def test_dc_exact_constant_frames_round_trip_bit_exact():
+    vals = [54, 100, 200, 0, 252]
+    frames = [np.full((6, 9, 3), v, dtype=np.uint8) for v in vals]
+    out, fps = decode_mp4_mjpeg(encode_mp4_mjpeg(frames, fps=12, quality=50))
+    assert fps == 12
+    assert len(out) == len(frames)
+    for o, v in zip(out, vals):
+        assert o.shape == (6, 9, 3)
+        assert (o == v).all()
+
+
+def test_noisy_frames_round_trip_bounded_error():
+    rng = np.random.RandomState(7)
+    frames = [rng.randint(0, 256, (16, 24, 3)).astype(np.uint8) for _ in range(3)]
+    out, _ = decode_mp4_mjpeg(encode_mp4_mjpeg(frames, fps=5, quality=90))
+    for o, f in zip(out, frames):
+        assert o.shape == f.shape
+        assert np.abs(o.astype(int) - f.astype(int)).mean() < 16
+
+
+def test_probe_reports_mjpeg_mp4_metadata():
+    frames = [np.full((4, 5, 3), 10, np.uint8)] * 3
+    container, codec, w, h, dur = probe_media(encode_mp4_mjpeg(frames, fps=8))
+    assert (container, codec, w, h) == ("mp4", "jpeg", 5, 4)
+    assert dur == 3 * 1000 // 8
+
+
+def test_sample_extents_multi_chunk_and_run():
+    """stsc runs spanning several chunks reconstruct the standard way:
+    run 1 covers chunks 1-2 at 2 samples each, run 2 covers chunk 3 at
+    1 sample; offsets advance by cumulative sizes within each chunk."""
+    sizes = [10, 20, 30, 40, 50]
+    offsets = [100, 200, 300]
+    runs = [(1, 2, 1), (3, 1, 1)]
+    assert _sample_extents(sizes, offsets, runs) == [
+        (100, 10),
+        (110, 20),
+        (200, 30),
+        (230, 40),
+        (300, 50),
+    ]
+
+
+def test_interframe_codec_raises_not_implemented():
+    for codec in (b"avc1", b"hvc1", b"mp4v", b"av01"):
+        with pytest.raises(NotImplementedError):
+            decode_mp4_mjpeg(encode_mp4_stub(64, 48, 5000, codec=codec))
+
+
+def test_malformed_payloads_raise_value_error():
+    good = encode_mp4_mjpeg([np.full((4, 4, 3), 10, np.uint8)], fps=1)
+    for bad in (b"", b"\x00\x00\x00\x08ftyp", good[: len(good) // 2], b"junk" * 50):
+        with pytest.raises(ValueError):
+            decode_mp4_mjpeg(bad)
+    # a sample extent pointing past the container is refused, not read
+    i = good.find(b"stco")
+    (first_off,) = struct.unpack_from(">I", good, i + 12)
+    tampered = (
+        good[: i + 12] + struct.pack(">I", len(good) - 2) + good[i + 16 :]
+    )
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(tampered)
+    assert first_off < len(good)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError):
+        encode_mp4_mjpeg([], fps=1)
+    with pytest.raises(ValueError):
+        encode_mp4_mjpeg(
+            [np.zeros((4, 4, 3), np.uint8), np.zeros((5, 4, 3), np.uint8)], fps=1
+        )
+    with pytest.raises(ValueError):
+        encode_mp4_mjpeg([np.zeros((4, 4, 3), np.uint8)], fps=0)
+
+
+def test_video_frame_features_covers_both_containers(spark):
+    """The driver-gate shape: AVI (doc_id%6==4) and MP4 (doc_id%6==2)
+    payloads union into one frame-feature scan, each matching its own
+    closed form."""
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_decodable_media(docs).unionByName(
+        multimodal.synth_mp4_media(docs)
+    )
+    rows = multimodal.video_frame_features(media).collect()
+    got = {(r["doc_id"], r["frame_idx"]): r for r in rows}
+    avi_docs = [d for d in range(30) if d % 6 == 4]
+    mp4_docs = [d for d in range(30) if d % 6 == 2]
+    assert sorted({k[0] for k in got}) == sorted(avi_docs + mp4_docs)
+    for d in avi_docs:
+        for i in range(d % 4 + 2):
+            r = got[(d, i)]
+            assert (r["height"], r["width"]) == ((d // 2) % 3 + 2, d % 5 + 3)
+            assert r["mean_x100"] == ((d * 9 + i * 31) % 127) * 2 * 100
+    for d in mp4_docs:
+        n = (d // 6) % 4 + 2
+        for i in range(n):
+            r = got[(d, i)]
+            assert (r["height"], r["width"]) == ((d // 6) % 3 + 2, d % 5 + 3)
+            assert r["mean_x100"] == ((d * 5 + i * 29) % 127) * 2 * 100
+        assert (d, n) not in got
+
+
+def test_decoded_features_and_resize_take_the_mp4_path(spark):
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_mp4_media(docs)
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decoded_features(media).collect()
+    }
+    for d in range(2, 30, 6):
+        n = (d // 6) % 4 + 2
+        w, h = d % 5 + 3, (d // 6) % 3 + 2
+        mean = sum(((d * 5 + i * 29) % 127) * 2 for i in range(n)) * 100 // n
+        r = feats[d]
+        assert r["decoded"] == 1
+        assert r["features"] == [float(n), float(h), float(w), float(mean)]
+
+    sized = multimodal.resize_media(
+        media.withColumn("width", F.lit(0))
+        .withColumn("height", F.lit(0))
+        .withColumn("n_bytes", F.length("payload").cast("long")),
+        target_w=8,
+        target_h=8,
+    )
+    for r in sized.collect():
+        d = r["doc_id"]
+        frames, fps = decode_mp4_mjpeg(bytes(r["payload"]))
+        assert fps == d % 4 + 4
+        assert len(frames) == (d // 6) % 4 + 2
+        for i, f in enumerate(frames):
+            assert f.shape == (8, 8, 3)
+            assert (f == ((d * 5 + i * 29) % 127) * 2).all()
