@@ -354,9 +354,10 @@ def main() -> None:
         # makes its cost a MEASURED number instead of a docstring caveat.
         # 64x64 textured baseline JPEGs (real AC coefficients, 4:2:0)
         # through the production decoded_features path; single-core
-        # python decode is ~5 ms/img (~200 img/s/core), so a real image
-        # corpus swaps in a codec library behind the same decode_media
-        # dispatch (see BENCH/plans.md).
+        # python decode is ~3 ms/img (~350 img/s/core after the r5
+        # LUT+inline entropy loop), so a real image corpus still swaps
+        # in a codec library behind the same decode_media dispatch
+        # (see BENCH/plans.md).
         n_jpeg = int(os.environ.get("SPARK_GRAFT_JPEG_BENCH", "5000"))
         jpeg_time = 0.0
         if n_jpeg:

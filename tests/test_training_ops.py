@@ -158,8 +158,13 @@ def test_multimodal_feature_batch_shape(spark, docs):
     # isolation); the codec-less format still raises NotImplementedError
     with pytest.raises(ValueError):
         multimodal.decode_media(b"xx", "image/png")
-    with pytest.raises(NotImplementedError):
+    # mp4 dispatches to the real ISO-BMFF demuxer now: junk bytes are
+    # malformed (ValueError, fallback isolation); the genuinely
+    # codec-less path moved to unknown media types
+    with pytest.raises(ValueError):
         multimodal.decode_media(b"xx", "video/mp4")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "application/x-unknown")
 
 
 def test_multimodal_resize_metadata_sync(spark, docs):
