@@ -189,66 +189,6 @@ def _build_huffman_lut(spec):
     return lut
 
 
-class _BitReader:
-    """MSB-first bit reader over destuffed entropy-coded bytes, buffered
-    through an int accumulator so Huffman decode is one 16-bit-lookahead
-    list index instead of a per-bit tree walk (the difference between a
-    fixture-grade and a corpus-grade pure-Python decoder)."""
-
-    __slots__ = ("data", "n", "pos", "acc", "nbits")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.n = len(data)
-        self.pos = 0  # next unread byte
-        self.acc = 0  # bit accumulator, low `nbits` bits valid
-        self.nbits = 0
-
-    def _refill(self, need: int) -> None:
-        while self.nbits < need and self.pos < self.n:
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.nbits += 8
-
-    def read_bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.nbits < n:
-            self._refill(n)
-            if self.nbits < n:
-                raise ValueError("JPEG entropy stream exhausted")
-        self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
-
-    def read_bit(self) -> int:
-        return self.read_bits(1)
-
-    def decode_symbol(self, lut) -> int:
-        if self.nbits < 16:
-            self._refill(16)
-        nbits = self.nbits
-        if nbits >= 16:
-            idx = (self.acc >> (nbits - 16)) & 0xFFFF
-        elif nbits:
-            idx = (self.acc << (16 - nbits)) & 0xFFFF  # zero-padded tail
-        else:
-            idx = 0
-        length = lut[1][idx]
-        if length == 0:
-            raise ValueError("invalid JPEG Huffman code")
-        if length > nbits:
-            raise ValueError("JPEG entropy stream exhausted")
-        self.nbits = nbits - length
-        return lut[0][idx]
-
-
-def _extend(v: int, size: int) -> int:
-    """F.2.2.1 EXTEND: map `size`-bit magnitude bits to a signed value."""
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-
-
 def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB array
     ((H, W, 1) for single-component grayscale). ValueError on anything
@@ -385,7 +325,7 @@ def _decode_scan(payload, start, sof, scan, qt, huff, restart_interval):
     # code's length is only known after decoding it), so the Python win
     # is eliminating per-symbol CALL overhead: the bit accumulator
     # (acc/nbits/pos) lives in locals and the 16-bit-lookahead LUT is
-    # indexed inline — no _BitReader method dispatch in the hot path.
+    # indexed inline — zero method dispatch per symbol.
     # EXTEND (F.2.2.1) is likewise inlined: a `size`-bit magnitude v
     # maps to v - (2^size - 1) when its top bit is 0, else to v.
     for seg in segments:
