@@ -338,13 +338,17 @@ def main() -> None:
             n_docs_amp = docs_df.count()
 
             # min-of-2 per docs op: one co-tenant spike otherwise lands
-            # unchallenged in the graded JSON (r5 preflight saw minhash
-            # 45.5 s vs its usual 14-22 s band on one draw). Run 1 is
-            # cold (codegen compile), run 2 warm — both are recorded so
-            # the cold cost stays visible alongside the min.
+            # unchallenged in the graded JSON (r5 preflights drew minhash
+            # 45-85 s on single draws; interleaved quiet runs sit at
+            # 17-26 s). clearCache() before each rep keeps the reps
+            # HONEST: minhash's internal shingle-set cache is keyed by
+            # logical plan, so a second invocation would otherwise skip
+            # tokenization entirely and report the warm 14 s instead of
+            # the ~18-22 s quiet-cold truth. Both walls are recorded.
             def _min2(fn):
                 walls = []
                 for _ in range(2):
+                    spark.catalog.clearCache()
                     t0 = time.time()
                     fn()
                     walls.append(time.time() - t0)
