@@ -14,7 +14,10 @@ This is a real demuxer, not a byte scan: it walks the box tree
 (codec), ``stsz`` (sample sizes), ``stco``/``co64`` (chunk offsets),
 ``stsc`` (sample-to-chunk runs), ``stts`` + ``mdhd`` timescale (frame
 rate) — and reconstructs each sample's byte extent exactly the way a
-standards-following player does. The reference pipeline has no media
+standards-following player does. FRAGMENTED mp4 (the DASH/HLS-segment
+layout: empty sample tables + mvex, samples in moof/traf/tfhd/trun) is
+demuxed too — per-fragment trun expansion with tfhd defaults and the
+default-base-is-moof addressing rule. The reference pipeline has no media
 path at all (it ships log text, newrelic/aws-log-ingestion
 src/function.py); this module belongs to the training-data-pipeline
 extension surface, where routing/decoding opaque media columns is a
@@ -50,28 +53,9 @@ def _full(typ: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
     return _box(typ, struct.pack(">B", version) + flags.to_bytes(3, "big") + body)
 
 
-def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 50) -> bytes:
-    """Encode (H, W, 3) uint8 frames as a Motion-JPEG MP4: ``ftyp`` +
-    ``mdat`` (samples = independent baseline JPEGs, 4:4:4) + ``moov``
-    with full sample tables (one chunk holding all samples; stsz per
-    sample, stts one run at 1 tick/frame with mdhd timescale = fps).
-    DC-exact constant frames round-trip bit-exactly (see jpeg.py)."""
-    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
-    if not frames:
-        raise ValueError("encode_mp4_mjpeg wants at least one frame")
-    h, w = frames[0].shape[0], frames[0].shape[1]
-    if any(f.shape != frames[0].shape for f in frames):
-        raise ValueError("all frames must share one shape")
-    if fps <= 0:
-        raise ValueError("fps must be positive")
-    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
-    n = len(jpegs)
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    mdat = _box(b"mdat", b"".join(jpegs))
-    first_sample_off = len(ftyp) + 8  # absolute offset of sample 0
-
-    # moov ---------------------------------------------------------------
+def _track_boxes(w: int, h: int, fps: int, n: int):
+    """The shared moov header boxes: (mvhd, tkhd, mdhd, hdlr, vmhd,
+    dinf, stsd) — identical between the flat and fragmented layouts."""
     mvhd = _full(
         b"mvhd",
         struct.pack(">II", 0, 0)  # creation/modification
@@ -113,6 +97,42 @@ def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 50) -> bytes:
         + struct.pack(">Hh", 24, -1),  # depth, pre_defined
     )
     stsd = _full(b"stsd", struct.pack(">I", 1) + sample_entry)
+    return mvhd, tkhd, mdhd, hdlr, vmhd, dinf, stsd
+
+
+def encode_mp4_mjpeg(
+    frames, fps: int = 10, quality: int = 50, fragment_size: int | None = None
+) -> bytes:
+    """Encode (H, W, 3) uint8 frames as a Motion-JPEG MP4: ``ftyp`` +
+    ``mdat`` (samples = independent baseline JPEGs, 4:4:4) + ``moov``
+    with full sample tables (one chunk holding all samples; stsz per
+    sample, stts one run at 1 tick/frame with mdhd timescale = fps).
+    With ``fragment_size=k`` the output is FRAGMENTED mp4 instead (the
+    DASH/HLS-segment layout): ``ftyp`` + ``moov`` with empty sample
+    tables + mvex/trex, then one ``moof``+``mdat`` pair per k frames,
+    samples addressed by tfhd (default-base-is-moof) + trun
+    (data_offset + per-sample sizes). DC-exact constant frames
+    round-trip bit-exactly either way (see jpeg.py)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_mp4_mjpeg wants at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("all frames must share one shape")
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    n = len(jpegs)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    if fragment_size is not None:
+        if fragment_size < 1:
+            raise ValueError("fragment_size must be >= 1")
+        return ftyp + _fmp4_body(jpegs, w, h, fps, fragment_size)
+    mdat = _box(b"mdat", b"".join(jpegs))
+    first_sample_off = len(ftyp) + 8  # absolute offset of sample 0
+
+    mvhd, tkhd, mdhd, hdlr, vmhd, dinf, stsd = _track_boxes(w, h, fps, n)
     stts = _full(b"stts", struct.pack(">III", 1, n, 1))  # n samples x 1 tick
     stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # 1 chunk, n samples
     stsz = _full(
@@ -126,6 +146,49 @@ def encode_mp4_mjpeg(frames, fps: int = 10, quality: int = 50) -> bytes:
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def _fmp4_body(jpegs, w: int, h: int, fps: int, fragment_size: int) -> bytes:
+    """Everything after ftyp for the fragmented layout: moov with EMPTY
+    sample tables + mvex/trex (announcing movie fragments), then one
+    moof+mdat pair per ``fragment_size`` samples. Each traf uses
+    default-base-is-moof + a default sample duration of 1 tick; the
+    trun carries data_offset + per-sample sizes."""
+    n = len(jpegs)
+    mvhd, tkhd, mdhd, hdlr, vmhd, dinf, stsd = _track_boxes(w, h, fps, n)
+    stts = _full(b"stts", struct.pack(">I", 0))
+    stsc = _full(b"stsc", struct.pack(">I", 0))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 0))
+    stco = _full(b"stco", struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    trex = _full(b"trex", struct.pack(">5I", 1, 1, 1, 0, 0))
+    mvex = _box(b"mvex", trex)
+    out = [_box(b"moov", mvhd + trak + mvex)]
+
+    for seq, start in enumerate(range(0, n, fragment_size), start=1):
+        frag = jpegs[start : start + fragment_size]
+        k = len(frag)
+        mfhd = _full(b"mfhd", struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x020000) + default duration (0x8)
+        tfhd = _full(b"tfhd", struct.pack(">II", 1, 1), flags=0x020008)
+        # trun: data_offset (0x1) + per-sample sizes (0x200); the offset
+        # points past this moof and the mdat header — pure arithmetic:
+        # moof = 8 + mfhd(16) + traf(8 + tfhd(20) + trun(20 + 4k))
+        moof_size = 8 + 16 + (8 + 20 + (20 + 4 * k))
+        trun = _full(
+            b"trun",
+            struct.pack(">Ii", k, moof_size + 8)
+            + b"".join(struct.pack(">I", len(j)) for j in frag),
+            flags=0x201,
+        )
+        traf = _box(b"traf", tfhd + trun)
+        moof = _box(b"moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out.append(moof + _box(b"mdat", b"".join(frag)))
+    return b"".join(out)
 
 
 def _boxes(p: bytes, start: int, end: int):
@@ -208,45 +271,136 @@ def _sample_extents(sizes, offsets, stsc_runs):
     return extents
 
 
+def _parse_trak(p: bytes, b0: int, b1: int):
+    """Parse one trak box: (track_id, timescale, codec, sizes, offsets,
+    stsc_runs, stts_first_delta) — sample tables empty/None for
+    fragmented tracks (their samples live in moof/trun instead)."""
+    track_id = timescale = None
+    codec = sizes = offsets = runs = delta = None
+    for typ, c0, c1 in _boxes(p, b0, b1):
+        if typ == b"tkhd":
+            ver = p[c0]
+            (track_id,) = struct.unpack_from(">I", p, c0 + (20 if ver == 1 else 12))
+        elif typ == b"mdia":
+            for t2, d0, d1 in _boxes(p, c0, c1):
+                if t2 == b"mdhd":
+                    ver = p[d0]
+                    timescale = struct.unpack_from(
+                        ">I", p, d0 + (20 if ver == 1 else 12)
+                    )[0]
+                elif t2 == b"minf":
+                    for t3, e0, e1 in _boxes(p, d0, d1):
+                        if t3 == b"stbl":
+                            codec, sizes, offsets, runs, delta = (
+                                _read_sample_tables(p, e0, e1)
+                            )
+    if codec is None:
+        return None
+    return (track_id, timescale, codec, sizes, offsets, runs, delta)
+
+
+def _fragment_extents(p: bytes, track_id: int):
+    """Per-sample (offset, size) + first duration for a fragmented-mp4
+    track: walk top-level moof boxes, match traf/tfhd to ``track_id``,
+    expand each trun (per-sample or tfhd-default sizes; base offset =
+    explicit tfhd base_data_offset or the moof start, the
+    default-base-is-moof rule)."""
+    extents, delta = [], None
+    for typ, b0, b1 in _boxes(p, 0, len(p)):
+        if typ != b"moof":
+            continue
+        moof_start = b0 - 8
+        for t2, c0, c1 in _boxes(p, b0, b1):
+            if t2 != b"traf":
+                continue
+            tf_track = base = def_dur = def_size = None
+            truns = []
+            for t3, d0, d1 in _boxes(p, c0, c1):
+                if t3 == b"tfhd":
+                    flags = int.from_bytes(p[d0 + 1 : d0 + 4], "big")
+                    (tf_track,) = struct.unpack_from(">I", p, d0 + 4)
+                    off = d0 + 8
+                    if flags & 0x1:  # base_data_offset
+                        (base,) = struct.unpack_from(">Q", p, off)
+                        off += 8
+                    if flags & 0x2:  # sample_description_index
+                        off += 4
+                    if flags & 0x8:  # default_sample_duration
+                        (def_dur,) = struct.unpack_from(">I", p, off)
+                        off += 4
+                    if flags & 0x10:  # default_sample_size
+                        (def_size,) = struct.unpack_from(">I", p, off)
+                        off += 4
+                elif t3 == b"trun":
+                    truns.append(d0)
+            if tf_track != track_id:
+                continue
+            if base is None:
+                base = moof_start
+            for d0 in truns:
+                flags = int.from_bytes(p[d0 + 1 : d0 + 4], "big")
+                (n,) = struct.unpack_from(">I", p, d0 + 4)
+                off = d0 + 8
+                pos = base
+                if flags & 0x1:  # data_offset (signed)
+                    (doff,) = struct.unpack_from(">i", p, off)
+                    off += 4
+                    pos = base + doff
+                if flags & 0x4:  # first_sample_flags
+                    off += 4
+                for _ in range(n):
+                    dur = def_dur
+                    if flags & 0x100:
+                        (dur,) = struct.unpack_from(">I", p, off)
+                        off += 4
+                    size = def_size
+                    if flags & 0x200:
+                        (size,) = struct.unpack_from(">I", p, off)
+                        off += 4
+                    if flags & 0x400:  # sample_flags
+                        off += 4
+                    if flags & 0x800:  # composition offset
+                        off += 4
+                    if size is None:
+                        raise ValueError("mp4 trun sample without a size")
+                    extents.append((pos, size))
+                    pos += size
+                    if delta is None and dur:
+                        delta = dur
+    if not extents:
+        raise ValueError("fragmented mp4 has no trun samples for the track")
+    return extents, delta
+
+
 def decode_mp4_mjpeg(payload: bytes):
     """Decode a Motion-JPEG MP4 into ``(frames, fps)``: walk the box
     tree, find the first track whose stsd fourcc is a Motion-JPEG entry,
-    reconstruct sample extents from stsz/stco/stsc and JPEG-decode each
-    sample. fps = mdhd timescale / first stts delta (rounded). Raises
+    reconstruct sample extents from stsz/stco/stsc — or, for fragmented
+    mp4 (empty sample tables + moof/mdat fragments, the DASH/HLS-segment
+    layout), from each fragment's tfhd/trun run — and JPEG-decode each
+    sample. fps = mdhd timescale / sample duration (rounded). Raises
     NotImplementedError for recognized inter-frame codecs (avc1 etc. —
     needs ffmpeg) and ValueError for anything malformed."""
     try:
         if len(payload) < 12 or payload[4:8] != b"ftyp":
             raise ValueError("not an ISO-BMFF payload")
 
-        found = None  # (codec, sizes, offsets, stsc_runs, delta, timescale)
+        found = None  # (track_id, timescale, sizes, offsets, runs, delta)
         seen_interframe = None
-
-        def walk(start, end, timescale):
-            nonlocal found, seen_interframe
-            for typ, b0, b1 in _boxes(payload, start, end):
-                if typ in (b"moov", b"trak", b"minf"):
-                    walk(b0, b1, timescale)
-                elif typ == b"mdia":
-                    # mdhd carries this track's timescale; read it first
-                    ts = timescale
-                    for t2, c0, c1 in _boxes(payload, b0, b1):
-                        if t2 == b"mdhd":
-                            ver = payload[c0]
-                            ts = struct.unpack_from(
-                                ">I", payload, c0 + (20 if ver == 1 else 12)
-                            )[0]
-                    walk(b0, b1, ts)
-                elif typ == b"stbl" and found is None:
-                    codec, sizes, offsets, runs, delta = _read_sample_tables(
-                        payload, b0, b1
-                    )
-                    if codec in _MJPEG_FOURCC and sizes and offsets and runs:
-                        found = (sizes, offsets, runs, delta, timescale)
-                    elif codec in _INTERFRAME_FOURCC:
-                        seen_interframe = codec
-
-        walk(0, len(payload), None)
+        for typ, b0, b1 in _boxes(payload, 0, len(payload)):
+            if typ != b"moov":
+                continue
+            for t2, c0, c1 in _boxes(payload, b0, b1):
+                if t2 != b"trak":
+                    continue
+                info = _parse_trak(payload, c0, c1)
+                if info is None:
+                    continue
+                track_id, timescale, codec, sizes, offsets, runs, delta = info
+                if codec in _MJPEG_FOURCC and found is None:
+                    found = (track_id, timescale, sizes, offsets, runs, delta)
+                elif codec in _INTERFRAME_FOURCC and seen_interframe is None:
+                    seen_interframe = codec
         if found is None:
             if seen_interframe is not None:
                 raise NotImplementedError(
@@ -256,9 +410,13 @@ def decode_mp4_mjpeg(payload: bytes):
                 )
             raise ValueError("no Motion-JPEG video track in mp4")
 
-        sizes, offsets, runs, delta, timescale = found
+        track_id, timescale, sizes, offsets, runs, delta = found
+        if sizes and offsets and runs:
+            extents = _sample_extents(sizes, offsets, runs)
+        else:  # fragmented: samples live in moof/trun
+            extents, delta = _fragment_extents(payload, track_id)
         frames = []
-        for off, size in _sample_extents(sizes, offsets, runs):
+        for off, size in extents:
             if off + size > len(payload):
                 raise ValueError("mp4 sample extent overruns container")
             frames.append(decode_jpeg(payload[off : off + size]))

@@ -60,6 +60,31 @@ def test_sample_extents_multi_chunk_and_run():
     ]
 
 
+def test_fragmented_mp4_round_trip_and_equivalence():
+    """fMP4 (moof/tfhd/trun, default-base-is-moof) decodes to exactly
+    the same frames/fps as the flat layout, at every fragment size
+    including 1 (one sample per fragment) and >n (single fragment)."""
+    vals = [10, 64, 250, 8, 120]
+    frames = [np.full((4, 5, 3), v, dtype=np.uint8) for v in vals]
+    flat, flat_fps = decode_mp4_mjpeg(encode_mp4_mjpeg(frames, fps=8))
+    for fs in (1, 2, 3, 99):
+        out, fps = decode_mp4_mjpeg(
+            encode_mp4_mjpeg(frames, fps=8, fragment_size=fs)
+        )
+        assert fps == flat_fps == 8
+        assert len(out) == len(flat) == 5
+        for o, f in zip(out, flat):
+            assert (o == f).all()
+    # a fragmented payload still probes as mp4/jpeg with real dims
+    frag = encode_mp4_mjpeg(frames, fps=8, fragment_size=2)
+    assert probe_media(frag)[:4] == ("mp4", "jpeg", 5, 4)
+    # truncating the last fragment is malformed, never silently short
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(frag[: len(frag) - 10])
+    with pytest.raises(ValueError):
+        encode_mp4_mjpeg(frames, fps=8, fragment_size=0)
+
+
 def test_interframe_codec_raises_not_implemented():
     for codec in (b"avc1", b"hvc1", b"mp4v", b"av01"):
         with pytest.raises(NotImplementedError):
