@@ -369,10 +369,10 @@ def main() -> None:
         # makes its cost a MEASURED number instead of a docstring caveat.
         # 64x64 textured baseline JPEGs (real AC coefficients, 4:2:0)
         # through the production decoded_features path; single-core
-        # python decode is ~3 ms/img (~350 img/s/core after the r5
-        # LUT+inline entropy loop), so a real image corpus still swaps
-        # in a codec library behind the same decode_media dispatch
-        # (see BENCH/plans.md).
+        # python decode is ~1.7 ms/img (~580 img/s/core after the r5
+        # LUT+inline entropy loop and batched per-component IDCT), so a
+        # real image corpus still swaps in a codec library behind the
+        # same decode_media dispatch (see BENCH/plans.md).
         n_jpeg = int(os.environ.get("SPARK_GRAFT_JPEG_BENCH", "5000"))
         jpeg_time = 0.0
         if n_jpeg:
