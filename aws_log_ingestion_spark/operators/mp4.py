@@ -214,7 +214,8 @@ def _boxes(p: bytes, start: int, end: int):
 
 def _read_sample_tables(p: bytes, stbl_start: int, stbl_end: int):
     """Parse one stbl: returns (codec_fourcc, sizes, chunk_offsets,
-    stsc_runs, (stts_first_delta, timescale_placeholder))."""
+    stsc_runs, stts_first_delta) — the tables None/empty when absent
+    (fragmented tracks keep an empty stbl)."""
     codec = None
     sizes = None
     offsets = None
