@@ -398,6 +398,31 @@ def main() -> None:
             jpeg_time = time.time() - t0
             assert n_ok == n_jpeg, f"jpeg decode fell back: {n_ok}/{n_jpeg}"
 
+            # same honesty line for the video path: Motion-JPEG MP4
+            # payloads (6 frames of the textured image each) through
+            # video_frame_features — demux + per-frame decode measured,
+            # n_videos x 6 frame rows proves nothing fell back.
+            from aws_log_ingestion_spark.operators.mp4 import encode_mp4_mjpeg
+            from aws_log_ingestion_spark.operators.multimodal import (
+                video_frame_features,
+            )
+
+            n_video = max(1, n_jpeg // 10)
+            vid_payload = encode_mp4_mjpeg(
+                [img[..., None].repeat(3, axis=2)] * 6, fps=6, quality=50
+            )
+            vm = spark.range(n_video).select(
+                F.col("id").alias("doc_id"),
+                F.lit("video/mp4").alias("media_type"),
+                F.lit(bytes(vid_payload)).alias("payload"),
+            )
+            t0 = time.time()
+            n_frames_out = video_frame_features(vm).count()
+            video_time = time.time() - t0
+            assert n_frames_out == n_video * 6, (
+                f"mp4 decode fell back: {n_frames_out}/{n_video * 6} frames"
+            )
+
         tps = n_turns / headline_wall
         queries = {k: round(v, 3) for k, v in best["timings"].items()}
         queries["headline_wall"] = round(headline_wall, 3)
@@ -413,6 +438,10 @@ def main() -> None:
         if n_jpeg:
             queries["jpeg_decode_5k"] = round(jpeg_time, 3)
             queries["jpeg_decode_imgs_per_sec"] = round(n_jpeg / jpeg_time, 1)
+            queries["mp4_decode_videos"] = n_video
+            queries["mp4_decode_frames_per_sec"] = round(
+                n_video * 6 / video_time, 1
+            )
         queries["job_total_all_runs"] = [
             round(r["timings"]["job_total"], 1) for r in runs
         ]
