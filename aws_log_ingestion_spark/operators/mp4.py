@@ -300,12 +300,34 @@ def _parse_trak(p: bytes, b0: int, b1: int):
     return (track_id, timescale, codec, sizes, offsets, runs, delta)
 
 
+def _trex_defaults(p: bytes, track_id: int):
+    """(default_sample_duration, default_sample_size) from moov/mvex/
+    trex for ``track_id`` — the movie-level fallbacks a tfhd may omit
+    (ISO 14496-12 §8.8.3). (None, None) when no trex matches."""
+    for typ, b0, b1 in _boxes(p, 0, len(p)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in _boxes(p, b0, b1):
+            if t2 != b"mvex":
+                continue
+            for t3, d0, d1 in _boxes(p, c0, c1):
+                if t3 == b"trex":
+                    tid, _desc, dur, size, _flags = struct.unpack_from(
+                        ">5I", p, d0 + 4
+                    )
+                    if tid == track_id:
+                        return (dur or None, size or None)
+    return (None, None)
+
+
 def _fragment_extents(p: bytes, track_id: int):
     """Per-sample (offset, size) + first duration for a fragmented-mp4
     track: walk top-level moof boxes, match traf/tfhd to ``track_id``,
-    expand each trun (per-sample or tfhd-default sizes; base offset =
-    explicit tfhd base_data_offset or the moof start, the
-    default-base-is-moof rule)."""
+    expand each trun (per-sample sizes, else tfhd defaults, else the
+    movie-level trex defaults; base offset = explicit tfhd
+    base_data_offset or the moof start, the default-base-is-moof
+    rule)."""
+    trex_dur, trex_size = _trex_defaults(p, track_id)
     extents, delta = [], None
     for typ, b0, b1 in _boxes(p, 0, len(p)):
         if typ != b"moof":
@@ -314,7 +336,8 @@ def _fragment_extents(p: bytes, track_id: int):
         for t2, c0, c1 in _boxes(p, b0, b1):
             if t2 != b"traf":
                 continue
-            tf_track = base = def_dur = def_size = None
+            tf_track = base = None
+            def_dur, def_size = trex_dur, trex_size  # tfhd may override
             truns = []
             for t3, d0, d1 in _boxes(p, c0, c1):
                 if t3 == b"tfhd":

@@ -85,6 +85,44 @@ def test_fragmented_mp4_round_trip_and_equivalence():
         encode_mp4_mjpeg(frames, fps=8, fragment_size=0)
 
 
+def test_fragmented_mp4_trex_defaults_only():
+    """A legal fMP4 may omit sizes/durations from BOTH trun and tfhd
+    and rely on the movie-level mvex/trex defaults (ISO 14496-12
+    §8.8.3). Hand-build such a fragment (identical constant frames ->
+    identical JPEG sizes, so one trex default_sample_size is exact)."""
+    from aws_log_ingestion_spark.operators.jpeg import encode_jpeg
+    from aws_log_ingestion_spark.operators.mp4 import _box, _full
+
+    frames = [np.full((4, 4, 3), 10, np.uint8)] * 3
+    frag = encode_mp4_mjpeg(frames, fps=5, fragment_size=3)
+    s = len(encode_jpeg(frames[0], quality=50))
+
+    i = frag.index(b"moof") - 4
+    head, tail = frag[:i], frag[i:]
+    mdat = tail[tail.index(b"mdat") - 4 :]
+    # moof whose tfhd carries ONLY default-base-is-moof and whose trun
+    # carries ONLY data_offset — sizes/duration must come from trex
+    mfhd = _full(b"mfhd", struct.pack(">I", 1))
+    tfhd = _full(b"tfhd", struct.pack(">I", 1), flags=0x020000)
+    moof_size = 8 + len(mfhd) + (8 + len(tfhd) + 20)
+    trun = _full(b"trun", struct.pack(">Ii", 3, moof_size + 8), flags=0x1)
+    moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+    assert len(moof) == moof_size
+    # patch trex: default duration 1 tick, default sample size s
+    k = head.index(b"trex")
+    head = head[: k + 8] + struct.pack(">5I", 1, 1, 1, s, 0) + head[k + 28 :]
+
+    out, fps = decode_mp4_mjpeg(head + moof + mdat)
+    assert fps == 5
+    assert len(out) == 3
+    for o in out:
+        assert (o == 10).all()
+    # and with NO size anywhere (trex size 0) the decode fails closed
+    bad = head[: k + 8] + struct.pack(">5I", 1, 1, 1, 0, 0) + head[k + 28 :]
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(bad + moof + mdat)
+
+
 def test_interframe_codec_raises_not_implemented():
     for codec in (b"avc1", b"hvc1", b"mp4v", b"av01"):
         with pytest.raises(NotImplementedError):
