@@ -229,6 +229,12 @@ def _read_sample_tables(p: bytes, stbl_start: int, stbl_end: int):
         elif typ == b"stsz":
             uniform, cnt = struct.unpack_from(">II", p, b0 + 4)
             if uniform:
+                # cnt is untrusted: samples can't total more bytes than
+                # the container holds, so a crafted count (e.g. 2**32-1)
+                # must fail as ValueError, not a ~34 GB MemoryError that
+                # would escape the per-row fallback isolation
+                if cnt > len(p) or uniform * cnt > len(p):
+                    raise ValueError("stsz uniform sample count overruns container")
                 sizes = [uniform] * cnt
             else:
                 sizes = list(struct.unpack_from(f">{cnt}I", p, b0 + 12))
@@ -257,6 +263,14 @@ def _sample_extents(sizes, offsets, stsc_runs):
     extents = []
     n_chunks = len(offsets)
     si = 0
+    prev_first = 0
+    for first_chunk, _pc, _d in stsc_runs:
+        # first_chunk is 1-based and runs must be strictly increasing;
+        # first_chunk=0 would make range() start at -1 and silently
+        # alias offsets[-1] instead of failing the malformed-input way
+        if first_chunk < 1 or first_chunk <= prev_first:
+            raise ValueError("stsc runs must start at chunk >= 1 and increase")
+        prev_first = first_chunk
     for ri, (first_chunk, per_chunk, _desc) in enumerate(stsc_runs):
         last_chunk = (
             stsc_runs[ri + 1][0] - 1 if ri + 1 < len(stsc_runs) else n_chunks

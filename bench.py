@@ -109,7 +109,23 @@ N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "64"))
 BENCH_TABLE = "bench_transcripts"
 
 
-def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
+def write_bucketed(spark, t, path: str) -> None:
+    """Write df `t` as the conv_id-bucketed bench table (the production
+    Iceberg bucket-transform layout stand-in)."""
+    spark.sql(f"DROP TABLE IF EXISTS {BENCH_TABLE}")
+    (
+        t.repartition(N_BUCKETS, F.col("conv_id"))
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(N_BUCKETS, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .saveAsTable(BENCH_TABLE)
+    )
+
+
+def materialize_input(
+    spark, sf_dir: str, factor: int, path: str, bucketed: bool = BUCKETED
+) -> None:
     """Derive + amplify transcripts, write once as the bench input table.
 
     Each copy k suffixes conv_id ('c12_k') so conversations stay intact
@@ -123,22 +139,14 @@ def materialize_input(spark, sf_dir: str, factor: int, path: str) -> None:
             .withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("_"), F.col("k")))
             .drop("k")
         )
-    if BUCKETED:
-        spark.sql(f"DROP TABLE IF EXISTS {BENCH_TABLE}")
-        (
-            t.repartition(N_BUCKETS, F.col("conv_id"))
-            .write.mode("overwrite")
-            .option("path", path)
-            .bucketBy(N_BUCKETS, "conv_id")
-            .sortBy("conv_id", "turn_idx")
-            .saveAsTable(BENCH_TABLE)
-        )
+    if bucketed:
+        write_bucketed(spark, t, path)
     else:
         t.repartition(64).write.mode("overwrite").parquet(path)
 
 
-def read_input(spark, in_path: str):
-    return spark.table(BENCH_TABLE) if BUCKETED else spark.read.parquet(in_path)
+def read_input(spark, in_path: str, bucketed: bool = BUCKETED):
+    return spark.table(BENCH_TABLE) if bucketed else spark.read.parquet(in_path)
 
 
 def _tree_cpu_seconds() -> float:
@@ -176,11 +184,13 @@ def _tree_cpu_seconds() -> float:
     return total / os.sysconf("SC_CLK_TCK")
 
 
-def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
+def run_job(spark, in_path: str, meta, cfg, out: str, bucketed: bool = None) -> dict:
     """One full pipeline run (hub -> infra partitioned write -> logging
     write -> route counts); returns stage timings + counts."""
+    if bucketed is None:
+        bucketed = BUCKETED
     timings: dict[str, float] = {}
-    t = read_input(spark, in_path)
+    t = read_input(spark, in_path, bucketed)
     cpu0 = _tree_cpu_seconds()
 
     t0 = time.time()
@@ -192,7 +202,7 @@ def run_job(spark, in_path: str, meta, cfg, out: str) -> dict:
     # whole hub runs with ZERO fact-side exchange — carry-decode keeps
     # the Arrow trace decode AFTER all windows (a pre-window UDF or the
     # split-scan union would discard the bucketed distribution).
-    if BUCKETED:
+    if bucketed:
         # marker_join: Arrow decodes only the ~1% marker rows (side
         # branch), joined back co-partitioned — zero fact exchange AND
         # no full-corpus Arrow round-trip (carry_decode=True pays
@@ -246,6 +256,23 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     _maybe_pin(cpus)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    # VERDICT r5 #1: gate the WHOLE bench on a quiet box, not just the
+    # post-non-convergence retries. r5's graded run started at loadavg
+    # 5.6 and converged at walls ~50% above quiet truth because FLAT
+    # co-tenant noise never trips the AGREE guard. Nothing of ours has
+    # run yet, so load1 here is pure co-tenant signal and a strict
+    # threshold (~2) is safe; budget-capped so driver runs terminate.
+    pre_quiet_load = float(os.environ.get("SPARK_GRAFT_PRE_QUIET_LOAD", "2.0"))
+    pre_quiet_budget = int(os.environ.get("SPARK_GRAFT_PRE_QUIET_BUDGET", "600"))
+    pre_quiet_waited = 0
+    while pre_quiet_budget > 0:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 <= pre_quiet_load:
+            break
+        time.sleep(QUIET_POLL)
+        pre_quiet_budget -= QUIET_POLL
+        pre_quiet_waited += QUIET_POLL
     load_start = open("/proc/loadavg").read().split()[:3]
 
     spark = get_spark("bench", cores=cpus)
@@ -267,35 +294,83 @@ def main() -> None:
         quiet_budget = QUIET_BUDGET
         quiet_waited = 0
 
-        def wait_quiet() -> None:
+        def wait_quiet(threshold: float = None) -> None:
             # our own tree is idle here, so load1 reads co-tenants plus
             # the 1-min decay of our previous run
             nonlocal quiet_budget, quiet_waited
+            limit = threshold if threshold is not None else quiet_load
             while quiet_budget > 0:
                 load1 = float(open("/proc/loadavg").read().split()[0])
-                if load1 <= quiet_load:
+                if load1 <= limit:
                     return
                 time.sleep(QUIET_POLL)
                 quiet_budget -= QUIET_POLL
                 quiet_waited += QUIET_POLL
 
-        runs = []
-        i = 0
-        while True:
+        def campaign(path: str, bucketed: bool, tag: str, repeat: int, max_repeat: int):
+            """Converged measurement campaign: repeat until the two best
+            walls agree within AGREE (waiting for quiet after an
+            unconverged rep), headline = best when corroborated."""
+            # VERDICT r5 #1: wait for quiet BEFORE rep 1 too — flat
+            # co-tenant noise converges at inflated walls and the old
+            # protocol only waited after a non-converged rep
+            wait_quiet(pre_quiet_load)
+            runs = []
+            i = 0
+            while True:
+                walls = sorted(r["timings"]["job_total"] for r in runs)
+                converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
+                if (i >= repeat and converged) or i >= max_repeat:
+                    break
+                if not converged and i >= repeat:
+                    wait_quiet()  # unconverged past repeat: co-tenant noise
+                runs.append(
+                    run_job(spark, path, meta, cfg, f"{work}/{tag}{i}", bucketed)
+                )
+                i += 1
             walls = sorted(r["timings"]["job_total"] for r in runs)
             converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
-            if (i >= REPEAT and converged) or i >= MAX_REPEAT:
-                break
-            if not converged and i >= REPEAT:
-                wait_quiet()  # unconverged past REPEAT: co-tenant noise
-            runs.append(run_job(spark, in_path, meta, cfg, f"{work}/out{i}"))
-            i += 1
-        walls = sorted(r["timings"]["job_total"] for r in runs)
-        converged = len(walls) >= 2 and walls[1] <= walls[0] * AGREE
-        # the graded wall: best when corroborated, second-best otherwise
-        headline_wall = walls[0] if converged else walls[1]
-        best = min(runs, key=lambda r: r["timings"]["job_total"])
+            # the graded wall: best when corroborated, second-best
+            # otherwise (a single run — MAX_REPEAT=1 — has no second wall)
+            headline_wall = walls[0] if (converged or len(walls) < 2) else walls[1]
+            best = min(runs, key=lambda r: r["timings"]["job_total"])
+            return runs, converged, headline_wall, best
+
+        runs, converged, headline_wall, best = campaign(
+            in_path, BUCKETED, "out", REPEAT, MAX_REPEAT
+        )
         counts = best["counts"]
+
+        # VERDICT r5 #7: the random-vs-bucketed layout delta is the
+        # 10^12-turn production design story (bucket once at ingest, the
+        # hub's one shuffle disappears) — measure BOTH layouts in the
+        # same graded JSON, same window, identical sink counts required.
+        pair = {}
+        if os.environ.get("SPARK_GRAFT_BUCKETED_PAIR", "1") == "1":
+            alt_bucketed = not BUCKETED
+            alt_path = f"{work}/transcripts_alt"
+            src = read_input(spark, in_path, BUCKETED)
+            if alt_bucketed:
+                write_bucketed(spark, src, alt_path)
+            else:
+                src.repartition(64).write.mode("overwrite").parquet(alt_path)
+            run_job(spark, alt_path, meta, cfg, f"{work}/altwarm", alt_bucketed)
+            alt_runs, alt_conv, alt_wall, alt_best = campaign(
+                alt_path, alt_bucketed, "alt", max(2, REPEAT - 1), max(4, MAX_REPEAT // 2)
+            )
+            alt_tag = "bucketed" if alt_bucketed else "random"
+            pair = {
+                f"{alt_tag}_headline_wall": round(alt_wall, 3),
+                f"{alt_tag}_turns_per_sec": round(n_turns / alt_wall, 1),
+                f"{alt_tag}_converged": alt_conv,
+                f"{alt_tag}_job_total_all_runs": [
+                    round(r["timings"]["job_total"], 1) for r in alt_runs
+                ],
+                f"{alt_tag}_job_cpu_all_runs": [
+                    round(r["timings"]["job_cpu"], 1) for r in alt_runs
+                ],
+                f"{alt_tag}_sink_counts_match": alt_best["counts"] == counts,
+            }
 
         # production chunk stage (plans/job.py): FULL-corpus fast counts —
         # pure-Catalyst raw arithmetic, gzip only in the ambiguous band
@@ -456,6 +531,7 @@ def main() -> None:
         queries["warmup_runs_discarded"] = [
             round(r["timings"]["job_total"], 1) for r in warm
         ]
+        queries.update(pair)
         print(
             json.dumps(
                 {
@@ -474,6 +550,7 @@ def main() -> None:
                     "loadavg_end": open("/proc/loadavg").read().split()[:3],
                     "converged": converged,
                     "quiet_waited_sec": quiet_waited,
+                    "pre_quiet_waited_sec": pre_quiet_waited,
                     "repeat": len(runs),
                     "sink_counts": {k: int(v) for k, v in counts.items()},
                 }

@@ -145,6 +145,36 @@ def test_malformed_payloads_raise_value_error():
     assert first_off < len(good)
 
 
+def test_crafted_stsz_uniform_count_raises_value_error():
+    """ADVICE r5: a crafted uniform-size stsz with cnt=0xFFFFFFFF must
+    fail as ValueError (the per-row isolation contract), not attempt a
+    ~34 GB list allocation that dies as MemoryError."""
+    good = encode_mp4_mjpeg([np.full((4, 4, 3), 10, np.uint8)] * 2, fps=1)
+    i = good.find(b"stsz")
+    tampered = (
+        good[: i + 8]
+        + struct.pack(">II", 1000, 0xFFFFFFFF)
+        + good[i + 16 :]
+    )
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(tampered)
+
+
+def test_malformed_stsc_run_ordering_raises_value_error():
+    """ADVICE r5: first_chunk=0 (or non-increasing runs) must raise, not
+    silently alias offsets[-1] via a range starting at -1."""
+    with pytest.raises(ValueError):
+        _sample_extents([10, 20], [100, 200], [(0, 1, 1)])
+    with pytest.raises(ValueError):
+        _sample_extents([10, 20, 30], [100, 200, 300], [(2, 1, 1), (2, 1, 1)])
+    # tampered container: patch the first stsc run's first_chunk to 0
+    good = encode_mp4_mjpeg([np.full((4, 4, 3), 10, np.uint8)] * 3, fps=1)
+    i = good.find(b"stsc")
+    tampered = good[: i + 12] + struct.pack(">I", 0) + good[i + 16 :]
+    with pytest.raises(ValueError):
+        decode_mp4_mjpeg(tampered)
+
+
 def test_encoder_input_validation():
     with pytest.raises(ValueError):
         encode_mp4_mjpeg([], fps=1)
