@@ -74,6 +74,7 @@ def classify(
     df: DataFrame,
     cfg: PipelineConfig | None = None,
     fill_request_ids: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Add ``sink`` in {vpc, lambda, other} (+ forward-filled request id).
 
@@ -87,6 +88,13 @@ def classify(
     raw filtered entry, /root/reference/src/function.py:255-261) and the
     MELT projection computes its own fills, so sorting the hub would be
     pure waste.
+
+    ``skew_safe=True`` replaces the conv_id max-window (which needs a
+    whole conversation in ONE task) with a map-side-combining
+    groupBy(conv_id).max + equi-join back — partial aggregation makes the
+    agg skew-immune, and the join's hot partition is AQE-skew-splittable
+    (a window partition is not). Chosen by plans.job.prepare's skew probe
+    for corpora with a conversation above the per-task row threshold.
     """
     cfg = cfg or PipelineConfig()
     if "log_group" not in df.columns:
@@ -94,7 +102,14 @@ def classify(
     if "is_lambda_msg" not in df.columns:
         df = with_parse_flags(df)
 
-    any_lambda_msg: Column = F.max(F.col("is_lambda_msg").cast("int")).over(_conv_window()) == 1
+    if skew_safe:
+        conv_any = df.groupBy("conv_id").agg(
+            F.max(F.col("is_lambda_msg").cast("int")).alias("__any_lambda")
+        )
+        df = df.join(conv_any, "conv_id", "left")
+        any_lambda_msg: Column = F.col("__any_lambda") == 1
+    else:
+        any_lambda_msg: Column = F.max(F.col("is_lambda_msg").cast("int")).over(_conv_window()) == 1
 
     is_vpc_group = F.col("log_group").startswith(cfg.vpc_prefix)
     is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
@@ -108,7 +123,12 @@ def classify(
     )
 
     if not fill_request_ids:
-        return df.withColumn("sink", sink)
+        return df.withColumn("sink", sink).drop("__any_lambda")
+
+    if skew_safe:
+        df = df.withColumn("__rid_masked", F.when(is_lambda_group, F.col("req_id_raw")))
+        df = forward_fill_salted(df, "__rid_masked", "lambda_request_id")
+        return df.withColumn("sink", sink).drop("__any_lambda", "__rid_masked")
 
     # Request-id fill only applies under the lambda log-group prefix
     # (:538): the extract is masked, then carried forward.

@@ -164,6 +164,80 @@ def with_melt_fills(
     )
 
 
+def with_melt_fills_salted(
+    df: DataFrame,
+    cfg: PipelineConfig | None = None,
+    salt_range: int = 100_000,
+) -> DataFrame:
+    """Skew-proof variant of ``with_melt_fills``: both conversation fills
+    via the two-pass salted scan (``classify.forward_fill_salted``'s
+    decomposition, done once for the pair).
+
+    A single 10^7-turn conversation serialises the naive conv_id window
+    on one task; here the ordered window partitions on (conv_id,
+    floor(turn_idx/salt_range)) — every task bounded at ``salt_range``
+    rows — and a per-block carry (one row per block) propagates the
+    running value across blocks. Exactly equivalent to the naive fills
+    for any salt_range >= 1 (pinned in tests/test_skew.py). The carry
+    join is keyed on (conv_id, __salt), which is balanced by
+    construction; AQE broadcasts the tiny carry side in the common case.
+    """
+    cfg = cfg or PipelineConfig()
+    if "log_group" not in df.columns:
+        df = with_log_group(df, cfg)
+
+    t = F.col("text")
+    is_nr_b = F.coalesce(P.is_nr_marker(t), F.lit(False))
+    # split-scan trace decode, as in the default path: Arrow ships only
+    # the ~1% marker rows; the union feeds the block window's exchange
+    markers = df.filter(is_nr_b).withColumn("__trace_raw", trace_id_raw(t, F.lit(True)))
+    rest = df.filter(~is_nr_b).withColumn("__trace_raw", F.lit(None).cast("string"))
+    df = markers.unionByName(rest)
+    is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
+    df = df.withColumn("__rid_raw", F.when(is_lambda_group, P.extract_request_id(t)))
+
+    df = df.withColumn(
+        "__salt", F.floor(F.col("turn_idx") / F.lit(salt_range)).cast("long")
+    )
+    w_block = (
+        W.partitionBy("conv_id", "__salt")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    df = df.withColumn(
+        "__tr_blk", F.last("__trace_raw", ignorenulls=True).over(w_block)
+    ).withColumn("__rid_blk", F.last("__rid_raw", ignorenulls=True).over(w_block))
+
+    # one row per block: the block-final carried value of each fill
+    block_last = df.groupBy("conv_id", "__salt").agg(
+        F.max_by("__tr_blk", F.col("turn_idx")).alias("__tr_last"),
+        F.max_by("__rid_blk", F.col("turn_idx")).alias("__rid_last"),
+    )
+    w_carry = (
+        W.partitionBy("conv_id").orderBy("__salt").rowsBetween(W.unboundedPreceding, -1)
+    )
+    carry = block_last.select(
+        "conv_id",
+        "__salt",
+        F.last("__tr_last", ignorenulls=True).over(w_carry).alias("__tr_carry"),
+        F.last("__rid_last", ignorenulls=True).over(w_carry).alias("__rid_carry"),
+    )
+    out = (
+        df.join(carry, ["conv_id", "__salt"], "left")
+        # ''-clears AFTER the carry, exactly like nullif(fill, '') in the
+        # naive path: a failed/empty marker decode still clears the carry
+        .withColumn(
+            "trace_id",
+            F.nullif(F.coalesce("__tr_blk", "__tr_carry"), F.lit("")),
+        )
+        .withColumn("lambda_request_id", F.coalesce("__rid_blk", "__rid_carry"))
+    )
+    return out.drop(
+        "__trace_raw", "__rid_raw", "__salt",
+        "__tr_blk", "__rid_blk", "__tr_carry", "__rid_carry",
+    )
+
+
 def decode_carried_traces(df: DataFrame) -> DataFrame:
     """Finish the carry-decode fill: decode the carried marker text into
     ``trace_id`` (memoized — ~one gzip decode per marker per batch) and

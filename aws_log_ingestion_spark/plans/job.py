@@ -19,6 +19,7 @@ Run via spark-submit (package zipped by scripts/make_pyfiles.sh):
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -28,15 +29,36 @@ from ..operators import checkpoint as ckpt
 from ..operators import chunks as chunk_op
 from ..operators.classify import classify
 from ..operators.enrich import enrich
-from ..operators.melt import melt_project, with_melt_fills
+from ..operators.melt import melt_project, with_melt_fills, with_melt_fills_salted
 from ..operators.route import INFRA_SINKS, infra_union, route_counts
 from ..sources.derive import conv_meta_from_events, transcripts_from_events
+
+# a conversation above this many turns would serialise the hub's conv_id
+# window onto one task (the whole partition must fit one task's sort);
+# above it prepare() switches to the salted two-pass fills + agg-join
+# classify. 0 disables the probe (plain window unconditionally).
+SKEW_THRESHOLD = int(os.environ.get("SPARK_GRAFT_SKEW_THRESHOLD", "1000000"))
+
+
+def max_conv_rows(transcripts: DataFrame) -> int:
+    """Cheap skew probe: the largest per-conversation row count. One
+    map-side-combining agg over (conv_id) — itself skew-immune. In a
+    production deployment this comes free from ingest/table statistics;
+    here it is one narrow pre-pass job."""
+    row = (
+        transcripts.groupBy("conv_id")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]
+    )
+    return int(row["m"] or 0)
 
 
 def prepare(
     transcripts: DataFrame,
     conv_meta: DataFrame,
     cfg: PipelineConfig | None = None,
+    skew_threshold: int | None = None,
 ) -> DataFrame:
     """Parse + classify + (MELT fills) + enrich — the hub DataFrame.
 
@@ -48,8 +70,17 @@ def prepare(
     shuffle+sort the r3 plan paid in the logging stage is gone. Infra
     sinks drop the two fill columns again (``infra_union``): the
     reference's infra payload is the raw filtered entry and never
-    carries them (/root/reference/src/function.py:255-261)."""
+    carries them (/root/reference/src/function.py:255-261).
+
+    Skew auto-routing (VERDICT r5 #3): a pre-pass probes the largest
+    conversation; above ``skew_threshold`` rows (default
+    SPARK_GRAFT_SKEW_THRESHOLD=1M) the hub switches to the salted
+    two-pass fills + agg-join classifier, whose tasks are bounded at the
+    salt range instead of the hottest conversation's full length. Output
+    is hash-identical to the plain-window plan (tests/test_skew.py)."""
     cfg = cfg or PipelineConfig()
+    threshold = SKEW_THRESHOLD if skew_threshold is None else skew_threshold
+    skewed = bool(threshold) and max_conv_rows(transcripts) > threshold
     hub = transcripts
     if cfg.logging_enabled:
         # Fills FIRST: with_melt_fills unions the marker/rest scan split
@@ -59,8 +90,14 @@ def prepare(
         # duplicates the classify window into both union branches (each
         # with its own exchange+sort) — 3 exchanges instead of 1
         # (plan-asserted in scripts/dump_plans.py).
-        hub = with_melt_fills(hub, cfg, decode_traces=True)
-    return enrich(classify(hub, cfg, fill_request_ids=False), conv_meta)
+        hub = (
+            with_melt_fills_salted(hub, cfg)
+            if skewed
+            else with_melt_fills(hub, cfg, decode_traces=True)
+        )
+    return enrich(
+        classify(hub, cfg, fill_request_ids=False, skew_safe=skewed), conv_meta
+    )
 
 
 def run_pipeline(
