@@ -27,7 +27,7 @@ import struct
 
 import numpy as np
 
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg_frames, encode_jpeg
 
 
 def _chunk(fourcc: bytes, payload: bytes) -> bytes:
@@ -170,7 +170,8 @@ def decode_avi_mjpeg(payload: bytes):
             elif list_type == b"movi":
                 for fcc2, p2, sz2 in _walk_chunks(payload, p + 4, p + size):
                     if fcc2[2:4] in (b"dc", b"db"):
-                        frames.append(decode_jpeg(payload[p2 : p2 + sz2]))
+                        frames.append(payload[p2 : p2 + sz2])
+        frames = decode_jpeg_frames(frames)
         if not handler_ok:
             raise ValueError("no MJPG 'vids' stream header in AVI")
         if not frames:

@@ -34,7 +34,7 @@ import struct
 
 import numpy as np
 
-from .jpeg import decode_jpeg, encode_jpeg
+from .jpeg import decode_jpeg_frames, encode_jpeg
 
 #: sample-entry fourccs whose samples are standalone JPEGs (QuickTime
 #: Motion-JPEG A/B and the raw 'jpeg' entry; mjpb's bitstream tweaks
@@ -457,7 +457,8 @@ def decode_mp4_mjpeg(payload: bytes):
         for off, size in extents:
             if off + size > len(payload):
                 raise ValueError("mp4 sample extent overruns container")
-            frames.append(decode_jpeg(payload[off : off + size]))
+            frames.append(payload[off : off + size])
+        frames = decode_jpeg_frames(frames)
         if not frames:
             raise ValueError("mp4 Motion-JPEG track has no samples")
         if any(f.shape != frames[0].shape for f in frames):

@@ -580,10 +580,39 @@ def decoded_features(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # JPEG rows decode through the batched lockstep decoder when
+            # the Arrow batch is wide enough for it to win (measured
+            # crossover in jpeg._LOCKSTEP_MIN) — results (arrays OR the
+            # exact per-payload ValueError) are identical to per-row
+            # decode_jpeg, so the fallback rows and features do not
+            # change; decode_jpeg_batch itself falls back to scalar for
+            # narrow sampling-structure groups.
+            jpeg_pre: dict = {}
+            jrows = [
+                j
+                for j, mt in enumerate(pdf["media_type"])
+                if mt == "image/jpeg"
+            ]
+            from .jpeg import _LOCKSTEP_MIN, decode_jpeg_batch
+
+            if len(jrows) >= _LOCKSTEP_MIN:
+                outs = decode_jpeg_batch(
+                    [bytes(pdf["payload"].iloc[j]) for j in jrows]
+                )
+                jpeg_pre = dict(zip(jrows, outs))
+
             decoded, feats = [], []
-            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+            for row_j, (payload, mt) in enumerate(
+                zip(pdf["payload"], pdf["media_type"])
+            ):
                 try:
-                    obj = decode_media(bytes(payload), mt)
+                    pre = jpeg_pre.get(row_j)
+                    if pre is not None:
+                        if isinstance(pre, Exception):
+                            raise pre
+                        obj = pre
+                    else:
+                        obj = decode_media(bytes(payload), mt)
                 except (NotImplementedError, ValueError):
                     arr = np.frombuffer(payload, dtype=np.uint8)
                     chunks = np.array_split(arr.astype(np.int64), 4)

@@ -458,8 +458,12 @@ def main() -> None:
         # python decode is ~1.7 ms/img (~580 img/s/core after the r5
         # LUT+inline entropy loop and batched per-component IDCT), so a
         # real image corpus still swaps in a codec library behind the
-        # same decode_media dispatch (see BENCH/plans.md).
-        n_jpeg = int(os.environ.get("SPARK_GRAFT_JPEG_BENCH", "5000"))
+        # same decode_media dispatch (see BENCH/plans.md). 20k images /
+        # 32 partitions = 625 rows per task: wide enough for the r6
+        # lockstep batch decoder (crossover ~256, jpeg._LOCKSTEP_MIN) to
+        # engage, which is also the real 100 TB shape (Arrow batches of
+        # an image corpus are 10k rows, not 156).
+        n_jpeg = int(os.environ.get("SPARK_GRAFT_JPEG_BENCH", "20000"))
         jpeg_time = 0.0
         if n_jpeg:
             import numpy as np
@@ -525,7 +529,8 @@ def main() -> None:
             queries["minhash_lsh_docs_amp"] = round(minhash_time, 3)
             queries["rarity_score_docs_amp"] = round(rarity_time, 3)
         if n_jpeg:
-            queries["jpeg_decode_5k"] = round(jpeg_time, 3)
+            queries["jpeg_decode_imgs"] = n_jpeg
+            queries["jpeg_decode_wall"] = round(jpeg_time, 3)
             queries["jpeg_decode_imgs_per_sec"] = round(n_jpeg / jpeg_time, 1)
             queries["mp4_decode_videos"] = n_video
             queries["mp4_decode_frames_per_sec"] = round(
