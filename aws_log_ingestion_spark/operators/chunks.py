@@ -145,6 +145,107 @@ def chunk_replay(df: DataFrame, path: str, cfg: PipelineConfig | None = None) ->
     )
 
 
+def chunk_replay_independent(
+    df: DataFrame, path: str, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Second, independently-plumbed gzip replay — exists to
+    machine-verify ``chunk_replay``'s distributed plumbing inside the
+    driver artifact (``q_chunk_gz_parity``).
+
+    Everything Spark-side is deliberately different from
+    ``chunk_replay``: conversations are assembled JVM-side with
+    ``groupBy().agg(sort_array(collect_list(struct(...))))`` (hash
+    aggregate + JVM lexicographic struct sort) instead of
+    ``applyInPandas`` grouping + pandas ``sort_values``; the stats run
+    through ``mapInPandas`` over pre-assembled rows instead of a grouped
+    pandas call. A bug in either side's grouping, ordering, Arrow
+    transfer, or timestamp handling shows up as a totals mismatch. Only
+    the leaf recursion (functions/chunking.py) is shared — that leaf is
+    pinned byte-for-byte against the reference's ``_generate_payloads``
+    (src/function.py:309-323) in tests/test_chunks_vs_reference.py."""
+    cfg = cfg or PipelineConfig()
+    cols = [c for c in _REQUIRED + _META if c in df.columns]
+    missing = [c for c in _REQUIRED if c not in df.columns]
+    if missing:
+        raise ValueError(f"chunk_replay_independent missing columns: {missing}")
+    slim = df.select(*cols).withColumn(
+        "ts_millis", F.unix_millis(F.col("ts").cast("timestamp"))
+    ).drop("ts")
+    meta_cols = [c for c in slim.columns if c not in ("conv_id", "turn_idx", "ts_millis", "text")]
+    # turn_idx is unique per conversation, so the lexicographic struct
+    # sort IS the turn order; meta rides in the struct so the first
+    # element's meta is exactly chunk_replay's sorted-first-row meta
+    g = slim.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "ts_millis", "text", *meta_cols))
+        ).alias("evs")
+    )
+    max_size = cfg.max_payload_size
+    lambda_prefix = cfg.lambda_prefix
+    tags = dict(cfg.tags)
+    out_cols = [f.name for f in CHUNK_STATS_SCHEMA.fields]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for conv_id, evs in zip(pdf["conv_id"], pdf["evs"]):
+                evs = list(evs)
+                first = evs[0]
+                conv_ordinal = int(
+                    "".join(ch for ch in conv_id if ch.isdigit()) or 0
+                )
+                events = [
+                    {
+                        "id": C.make_event_id(conv_ordinal, int(e["turn_idx"])),
+                        "timestamp": int(e["ts_millis"]),
+                        "message": e["text"],
+                    }
+                    for e in evs
+                ]
+                entry = C.build_entry(
+                    conv_id,
+                    first.get("log_group", "") or "",
+                    first.get("log_stream_name", "") or "",
+                    first.get("owner", "") or "",
+                    events,
+                )
+                if path == "infra":
+                    context = {
+                        "function_name": first.get("function_name", "") or "",
+                        "invoked_function_arn": first.get(
+                            "invoked_function_arn", ""
+                        )
+                        or "",
+                        "log_group_name": first.get("log_group", "") or "",
+                        "log_stream_name": first.get("log_stream_name", "")
+                        or "",
+                    }
+                    obj = C.build_infra_data(context, entry)
+                    split_fn = C.split_infra
+                else:
+                    obj = C.build_melt_payload(
+                        entry, lambda_prefix=lambda_prefix, tags=tags
+                    )
+                    split_fn = C.split_logging
+                s = C.chunk_stats(obj, split_fn, max_size)
+                out.append(
+                    {
+                        "conv_id": conv_id,
+                        "sink": first["sink"],
+                        "path": path,
+                        "n_events": len(events),
+                        "n_chunks": s["n_chunks"],
+                        "total_gz_bytes": s["total_gz_bytes"],
+                        "max_chunk_bytes": s["max_chunk_bytes"],
+                    }
+                )
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return g.mapInPandas(gen, CHUNK_STATS_SCHEMA)
+
+
 FRONTIER_SCHEMA = StructType(
     [
         StructField("conv_id", StringType()),

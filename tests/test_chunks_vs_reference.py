@@ -112,6 +112,57 @@ def test_spark_chunk_replay_matches_pure(spark, template_df, template_meta_df):
         assert got["n_events"] == len(rows), name
 
 
+def test_independent_replay_matches_operator_per_conversation(
+    spark, template_df, template_meta_df
+):
+    """chunk_replay_independent (JVM collect_list/sort_array assembly +
+    mapInPandas) reproduces chunk_replay (applyInPandas + pandas sort)
+    exactly, per conversation, on both paths at the forced-split cap —
+    the parity q_chunk_gz_parity surfaces into the driver artifact."""
+    from aws_log_ingestion_spark.operators.chunks import (
+        chunk_replay_independent,
+    )
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    for path in ("infra", "logging"):
+        op = {
+            r["conv_id"]: r.asDict()
+            for r in chunk_replay(hub, path, cfg).collect()
+        }
+        ind = {
+            r["conv_id"]: r.asDict()
+            for r in chunk_replay_independent(hub, path, cfg).collect()
+        }
+        assert op == ind, path
+
+
+def test_gz_parity_comparator_can_fail(spark, template_df, template_meta_df):
+    """The gz_match comparator is earned, not vacuous: replaying the
+    independent side at a different cap makes the totals disagree and
+    the same eqNullSafe comparison goes to 0."""
+    from aws_log_ingestion_spark.operators.chunks import (
+        chunk_replay_independent,
+    )
+    from aws_log_ingestion_spark.operators.enrich import enrich
+
+    cfg = PipelineConfig(max_payload_size=SMALL_CAP)
+    wrong = PipelineConfig(max_payload_size=SMALL_CAP * 4)
+    hub = enrich(classify(template_df, cfg), template_meta_df)
+    op = chunk_totals(chunk_replay(hub, "infra", cfg))
+    ind = chunk_totals(chunk_replay_independent(hub, "infra", wrong))
+    j = op.alias("a").join(ind.alias("b"), ["sink", "path"], "full_outer")
+    matches = j.select(
+        (
+            F.col("a.n_chunks").eqNullSafe(F.col("b.n_chunks"))
+            & F.col("a.total_gz_bytes").eqNullSafe(F.col("b.total_gz_bytes"))
+            & F.col("a.max_chunk_bytes").eqNullSafe(F.col("b.max_chunk_bytes"))
+        ).cast("int").alias("gz_match")
+    ).collect()
+    assert any(r["gz_match"] == 0 for r in matches)
+
+
 def test_chunk_totals_rollup(spark, template_df, template_meta_df):
     from aws_log_ingestion_spark.operators.enrich import enrich
 
