@@ -26,8 +26,20 @@ from ..operators.melt import melt_project
 from ..operators.route import infra_union
 
 
-def make_batch_processor(conv_meta: DataFrame, out_dir: str, cfg: PipelineConfig | None = None):
-    """The foreachBatch function: identical dataflow to plans/job.py."""
+def make_batch_processor(
+    conv_meta: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    chunk_stats: bool = False,
+):
+    """The foreachBatch function: identical dataflow to plans/job.py.
+
+    ``chunk_stats=True`` adds the batch job's chunk stage per
+    micro-batch: ``chunk_counts_fast`` over the same hub, appended to
+    ``out_dir/chunk_stats``. Under the reference's invocation model
+    (whole conversations per micro-batch) the appended union equals the
+    batch job's one-shot stats exactly — pinned by
+    tests/test_stateful_streaming.py."""
     cfg = cfg or PipelineConfig()
 
     # The session default is committer v2 (fast, but a mid-batch failure
@@ -38,19 +50,46 @@ def make_batch_processor(conv_meta: DataFrame, out_dir: str, cfg: PipelineConfig
     _v1 = {"mapreduce.fileoutputcommitter.algorithm.version": "1"}
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        hub = enrich(classify(batch_df, cfg), conv_meta)
-        if cfg.infra_enabled:
-            iu = infra_union(hub, cfg)
-            iu.sortWithinPartitions(
-                "sink", "conv_id", "turn_idx"
-            ).write.mode("append").options(
-                **parquet_text_options(iu), **_v1
-            ).partitionBy("sink").parquet(f"{out_dir}/infra")
-        if cfg.logging_enabled:
-            mp = melt_project(hub, cfg)
-            mp.write.mode("append").options(
-                **parquet_text_options(mp), **_v1
-            ).parquet(f"{out_dir}/logging")
+        from ..operators import chunks as chunk_op
+
+        # materialize the hub once per micro-batch — up to four sinks
+        # read it (infra, logging, and both chunk legs), mirroring the
+        # batch job's checkpointed hub
+        hub = enrich(classify(batch_df, cfg), conv_meta).persist()
+        try:
+            if cfg.infra_enabled:
+                iu = infra_union(hub, cfg)
+                iu.sortWithinPartitions(
+                    "sink", "conv_id", "turn_idx"
+                ).write.mode("append").options(
+                    **parquet_text_options(iu), **_v1
+                ).partitionBy("sink").parquet(f"{out_dir}/infra")
+            if cfg.logging_enabled:
+                mp = melt_project(hub, cfg)
+                mp.write.mode("append").options(
+                    **parquet_text_options(mp), **_v1
+                ).parquet(f"{out_dir}/logging")
+            if chunk_stats:
+                frames = []
+                if cfg.infra_enabled:
+                    frames.append(
+                        chunk_op.chunk_counts_fast(
+                            infra_union(hub, cfg), "infra", cfg
+                        )
+                    )
+                if cfg.logging_enabled:
+                    frames.append(
+                        chunk_op.chunk_counts_fast(hub, "logging", cfg)
+                    )
+                if frames:
+                    st = frames[0]
+                    for extra in frames[1:]:
+                        st = st.unionByName(extra)
+                    st.write.mode("append").options(
+                        **parquet_text_options(st), **_v1
+                    ).parquet(f"{out_dir}/chunk_stats")
+        finally:
+            hub.unpersist()
 
     return process
 
@@ -106,9 +145,12 @@ def run_stream_stateful_logging(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         hub = enrich(batch_df, conv_meta)
         mp = melt_project(hub, cfg)
-        mp.write.mode("append").options(**parquet_text_options(mp)).parquet(
-            f"{out_dir}/logging"
-        )
+        # same committer-v1 pin as make_batch_processor: an un-gated
+        # streaming append must not expose partial task files
+        mp.write.mode("append").options(
+            **parquet_text_options(mp),
+            **{"mapreduce.fileoutputcommitter.algorithm.version": "1"},
+        ).parquet(f"{out_dir}/logging")
 
     return (
         filled.writeStream.foreachBatch(process)
