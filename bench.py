@@ -483,10 +483,17 @@ def main() -> None:
                 F.lit("image/jpeg").alias("media_type"),
                 F.lit(bytes(payload)).alias("payload"),
             )
-            t0 = time.time()
-            n_ok = decoded_features(jm).agg(F.sum("decoded")).collect()[0][0]
-            jpeg_time = time.time() - t0
-            assert n_ok == n_jpeg, f"jpeg decode fell back: {n_ok}/{n_jpeg}"
+            # min-of-2 with raw walls (same honesty as the docs ops):
+            # rep 1 pays python-worker spin-up + codegen and absorbs
+            # co-tenant bursts; a single draw under-read the lockstep
+            # decoder 10x in preflights (1.1k vs 11.5-12.9k img/s warm)
+            jpeg_runs = []
+            for _rep in range(2):
+                t0 = time.time()
+                n_ok = decoded_features(jm).agg(F.sum("decoded")).collect()[0][0]
+                jpeg_runs.append(round(time.time() - t0, 3))
+                assert n_ok == n_jpeg, f"jpeg decode fell back: {n_ok}/{n_jpeg}"
+            jpeg_time = min(jpeg_runs)
 
             # same honesty line for the video path: Motion-JPEG MP4
             # payloads (6 frames of the textured image each) through
@@ -506,12 +513,15 @@ def main() -> None:
                 F.lit("video/mp4").alias("media_type"),
                 F.lit(bytes(vid_payload)).alias("payload"),
             )
-            t0 = time.time()
-            n_frames_out = video_frame_features(vm).count()
-            video_time = time.time() - t0
-            assert n_frames_out == n_video * 6, (
-                f"mp4 decode fell back: {n_frames_out}/{n_video * 6} frames"
-            )
+            video_runs = []
+            for _rep in range(2):
+                t0 = time.time()
+                n_frames_out = video_frame_features(vm).count()
+                video_runs.append(round(time.time() - t0, 3))
+                assert n_frames_out == n_video * 6, (
+                    f"mp4 decode fell back: {n_frames_out}/{n_video * 6} frames"
+                )
+            video_time = min(video_runs)
 
         tps = n_turns / headline_wall
         queries = {k: round(v, 3) for k, v in best["timings"].items()}
@@ -531,8 +541,10 @@ def main() -> None:
         if n_jpeg:
             queries["jpeg_decode_imgs"] = n_jpeg
             queries["jpeg_decode_wall"] = round(jpeg_time, 3)
+            queries["jpeg_decode_runs"] = jpeg_runs
             queries["jpeg_decode_imgs_per_sec"] = round(n_jpeg / jpeg_time, 1)
             queries["mp4_decode_videos"] = n_video
+            queries["mp4_decode_runs"] = video_runs
             queries["mp4_decode_frames_per_sec"] = round(
                 n_video * 6 / video_time, 1
             )
