@@ -373,17 +373,24 @@ def main() -> None:
             }
 
         # production chunk stage (plans/job.py): FULL-corpus fast counts —
-        # pure-Catalyst raw arithmetic, gzip only in the ambiguous band
-        t0 = time.time()
-        chunk_totals_fast(chunk_counts_fast(best["hub"], "logging", cfg)).collect()
-        chunk_fast_time = time.time() - t0
+        # pure-Catalyst raw arithmetic, gzip only in the ambiguous band.
+        # SPARK_GRAFT_CHUNK_BENCH=0 skips both chunk lines (scaling
+        # campaigns time only the N-vs-4N job; these add ~100 s per
+        # small-arm invocation)
+        chunk_fast_time = chunk_time = 0.0
+        if os.environ.get("SPARK_GRAFT_CHUNK_BENCH", "1") == "1":
+            t0 = time.time()
+            chunk_totals_fast(
+                chunk_counts_fast(best["hub"], "logging", cfg)
+            ).collect()
+            chunk_fast_time = time.time() - t0
 
-        # exact-gz-bytes replay on a 5% conversation sample (the byte-audit
-        # path; kept for round-over-round comparability)
-        t0 = time.time()
-        sample = best["hub"].filter(F.crc32(F.col("conv_id")) % 20 == 0)
-        chunk_totals(chunk_replay(sample, "logging", cfg)).collect()
-        chunk_time = time.time() - t0
+            # exact-gz-bytes replay on a 5% conversation sample (the
+            # byte-audit path; kept for round-over-round comparability)
+            t0 = time.time()
+            sample = best["hub"].filter(F.crc32(F.col("conv_id")) % 20 == 0)
+            chunk_totals(chunk_replay(sample, "logging", cfg)).collect()
+            chunk_time = time.time() - t0
 
         # training-data ops at corpus scale: documents amplified with a
         # per-copy word mutation so copies are NOT near-duplicates (dup

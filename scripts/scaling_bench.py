@@ -30,9 +30,13 @@ def run_bench(
         SPARK_GRAFT_AMPLIFY=str(amplify),
         SPARK_GRAFT_REPEAT=str(repeat),
     )
-    # the docs-ops section is a throughput benchmark, not part of the
-    # N-vs-4N job; skip it in scaling arms unless explicitly requested
+    # the docs-ops / media-codec / bucketed-pair sections are throughput
+    # benchmarks, not part of the N-vs-4N job; skip them in scaling arms
+    # unless explicitly requested (they roughly double each arm's wall)
     env.setdefault("SPARK_GRAFT_DOCS_AMPLIFY", "0")
+    env.setdefault("SPARK_GRAFT_JPEG_BENCH", "0")
+    env.setdefault("SPARK_GRAFT_BUCKETED_PAIR", "0")
+    env.setdefault("SPARK_GRAFT_CHUNK_BENCH", "0")
     if master:
         # e.g. local-cluster[4,8,14336]: real SEPARATE executor JVMs —
         # own heap/GC each, netty shuffle between processes (the faithful
