@@ -193,6 +193,16 @@ def _build_huffman_lut(spec):
     return lut
 
 
+#: decompression-bomb cap on claimed SOF pixels (16.7M = e.g. 4096x4096).
+#: With it (plus the 1-or-3-component and 1-4 sampling-factor guards in
+#: `_parse_jpeg`) the worst-case coefficient footprint a crafted header
+#: can demand is ~200 MB in the lockstep batch path — under the
+#: `_LOCKSTEP_ZZ_BYTES` slice cap — instead of tens of GB. Far above any
+#: fixture this codec serves; a real camera corpus swaps in a codec lib
+#: at the `decode_media` dispatch anyway (BENCH/plans.md).
+_MAX_DECODE_PIXELS = 1 << 24
+
+
 def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB array
     ((H, W, 1) for single-component grayscale). ValueError on anything
@@ -245,10 +255,29 @@ def _parse_jpeg(payload: bytes) -> dict:
             depth, h, w, ncomp = body[0], *struct.unpack_from(">HH", body, 1), body[5]
             if depth != 8:
                 raise ValueError(f"unsupported JPEG bit depth {depth}")
+            # SOF fields are UNTRUSTED (ADVICE-r5 mp4-stsz class): the
+            # decoders size coefficient stores from h/w/sampling before
+            # any entropy data is read, so crafted headers must fail on
+            # the ValueError path here, not as MemoryError (a ~200-byte
+            # payload claiming 65535x65535 would drive a multi-GB zz
+            # allocation in the lockstep batch path) or ZeroDivisionError
+            # (all-zero sampling factors reach the ceil-div below) —
+            # neither is caught by the media operators' per-row fallback.
+            if h == 0 or w == 0:
+                raise ValueError("JPEG frame has a zero dimension")
+            if h * w > _MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"JPEG frame {w}x{h} exceeds the decoder pixel cap "
+                    f"({_MAX_DECODE_PIXELS})"
+                )
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+                raise ValueError("JPEG sampling factors out of range (T.81: 1-4)")
             sof = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding process (not baseline)")

@@ -113,6 +113,50 @@ def test_chroma_subsampling_420_roundtrip():
     assert err.mean() < 4.0 and err.max() <= 24  # 2x2 chroma smear bound
 
 
+def _patched_sof(base: bytes, *, h=None, w=None, nc=None, hv0=None) -> bytes:
+    """Return `base` with SOF0 fields overwritten in place (header attack
+    surface: every patched field is read before any entropy data)."""
+    j = base.find(b"\xff\xc0")
+    assert j > 0
+    prec, h0, w0, nc0 = struct.unpack_from(">BHHB", base, j + 4)
+    head = struct.pack(
+        ">BHHB", prec, h if h is not None else h0,
+        w if w is not None else w0, nc if nc is not None else nc0,
+    )
+    out = bytearray(base)
+    out[j + 4 : j + 10] = head
+    if hv0 is not None:  # comp 0 sampling byte: id, HV, tq
+        out[j + 11] = hv0
+    return bytes(out)
+
+
+def test_decoder_rejects_crafted_sof_headers():
+    """ADVICE-r5 class (mp4 stsz): SOF h/w/ncomp/sampling are untrusted
+    and size allocations BEFORE entropy decode — crafted values must stay
+    on the ValueError path (per-row fallback), never MemoryError from a
+    65535x65535 claim or ZeroDivisionError from zero sampling factors."""
+    from aws_log_ingestion_spark.operators.jpeg import decode_jpeg_batch
+
+    base = encode_jpeg(np.full((8, 8, 3), 90, dtype=np.uint8))
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_jpeg(_patched_sof(base, h=65535, w=65535))
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_jpeg(_patched_sof(base, h=0))
+    with pytest.raises(ValueError, match="component count 2"):
+        decode_jpeg(_patched_sof(base, nc=2))
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(_patched_sof(base, hv0=0x00))  # h=v=0: ceil-div by 0
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(_patched_sof(base, hv0=0x5F))  # beyond T.81's 1-4
+    # batch isolation: one bomb header among valid payloads degrades to a
+    # ValueError in its slot; the rest decode
+    bomb = _patched_sof(base, h=65535, w=65535)
+    out = decode_jpeg_batch([base, bomb, base])
+    assert isinstance(out[1], ValueError) and "pixel cap" in str(out[1])
+    assert np.array_equal(out[0], decode_jpeg(base))
+    assert np.array_equal(out[2], decode_jpeg(base))
+
+
 def test_decoder_rejects_progressive_and_junk():
     with pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg at all")
