@@ -15,11 +15,16 @@ to NR-marker rows (a tiny minority) so Arrow ships only surviving rows
 
 from __future__ import annotations
 
-import gzip
 import json
 from base64 import b64decode
 
 from pyspark.sql import Column, functions as F
+
+from .gzguard import gunzip_capped
+
+#: agent trace blobs are a few KB; a crafted marker line inflating to GBs
+#: must land on the ''-on-failure path, not OOM-kill the Arrow worker
+_TRACE_INFLATE_CAP = 1 << 26  # 64 MiB
 
 
 def decode_trace_id_str(message: str) -> str:
@@ -28,7 +33,8 @@ def decode_trace_id_str(message: str) -> str:
         return ""
     try:
         arr = json.loads(message)
-        payload = json.loads(gzip.decompress(b64decode(arr[2])).decode("utf-8"))
+        raw = gunzip_capped(b64decode(arr[2]), _TRACE_INFLATE_CAP)
+        payload = json.loads(raw.decode("utf-8"))
         data = payload["data"]
     except Exception:
         return ""

@@ -163,13 +163,23 @@ def decode_png(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {ctype}")
+    stride = w * channels
+    expected = h * (stride + 1)
+    # IHDR w/h are untrusted 32-bit fields and size both the inflate and
+    # the output array; cap them (and bound the inflate itself) so a
+    # crafted header/bomb stays on the ValueError per-row-fallback path
+    # instead of OOM-killing the task (same class as the JPEG SOF guard).
+    if expected > (1 << 26):
+        raise ValueError(f"PNG {w}x{h}x{channels} exceeds the decoder size cap")
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"bad PNG deflate stream: {exc}") from None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("bad PNG scanline geometry")
+    if not d.eof or d.unused_data:
+        raise ValueError("truncated or trailing PNG deflate stream")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

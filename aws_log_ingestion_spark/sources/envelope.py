@@ -43,19 +43,28 @@ LOG_ENTRY_SCHEMA = StructType(
 
 _gunzip_udf = None
 
+#: per-envelope inflation cap. CloudWatch delivers envelopes far below
+#: 1 MiB compressed; 256 MiB inflated keeps every legitimate payload and
+#: turns a crafted bomb into a clean per-task ValueError (the same
+#: fail-loud outcome a corrupt envelope gets today) instead of an
+#: executor OOM kill.
+_ENVELOPE_INFLATE_CAP = 1 << 28
+
 
 def gunzip_str(col: Column) -> Column:
-    """Arrow-batched gzip.decompress(binary) -> utf-8 string."""
+    """Arrow-batched capped gunzip(binary) -> utf-8 string."""
     global _gunzip_udf
     if _gunzip_udf is None:
-        import gzip
-
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
+        from ..functions.gzguard import gunzip_capped
+
         def _raw(data):
             return data.map(
-                lambda b: gzip.decompress(b).decode("utf-8") if b is not None else None
+                lambda b: gunzip_capped(b, _ENVELOPE_INFLATE_CAP).decode("utf-8")
+                if b is not None
+                else None
             )
 
         _raw.__annotations__ = {"data": pd.Series, "return": pd.Series}
