@@ -44,6 +44,16 @@ def test_trace_decode_bomb_yields_empty_string():
     assert decode_trace_id_str(marker) == ""
 
 
+def test_wav_short_fmt_chunk_is_valueerror():
+    from aws_log_ingestion_spark.operators.multimodal import decode_wav
+
+    # fmt chunk claiming 16 bytes but truncated to 4: struct.error must
+    # not escape the decoder's ValueError contract
+    bad = b"RIFF" + struct.pack("<I", 16) + b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError, match="short WAV fmt chunk"):
+        decode_wav(bad)
+
+
 def test_png_bomb_headers_stay_on_valueerror_path():
     base = encode_png(np.full((8, 8, 3), 77, dtype=np.uint8))
     j = base.find(b"IHDR")
