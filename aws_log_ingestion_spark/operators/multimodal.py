@@ -145,6 +145,8 @@ def decode_png(payload: bytes):
         if len(body) < ln:
             raise ValueError("truncated PNG chunk")
         if typ == b"IHDR":
+            if len(body) != 13:  # struct.error would escape the ValueError contract
+                raise ValueError("bad PNG IHDR chunk length")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif typ == b"PLTE":
             plte = body

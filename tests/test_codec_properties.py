@@ -107,3 +107,51 @@ def test_arbitrary_bytes_never_crash_uncontrolled(data):
     for dec in (decode_jpeg, decode_avi_mjpeg, decode_mp4_mjpeg):
         with pytest.raises((ValueError, NotImplementedError)):
             dec(data)
+
+
+def _mutation_corpus():
+    """One small valid payload per decoder — mutations of these reach
+    DEEP parser states (random garbage dies at the magic check)."""
+    from aws_log_ingestion_spark.operators.multimodal import (
+        decode_bmp, decode_png, decode_wav, encode_bmp, encode_png, encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    pcm = rng.randint(-500, 500, (64, 2)).astype(np.int32)
+    return [
+        (encode_jpeg(img, quality=75), decode_jpeg),
+        (encode_avi_mjpeg([img, img], fps=10), decode_avi_mjpeg),
+        (encode_mp4_mjpeg([img, img], fps=10), decode_mp4_mjpeg),
+        (encode_png(img), decode_png),
+        (encode_bmp(img), decode_bmp),
+        (encode_wav(pcm), decode_wav),
+    ]
+
+
+_MUTATION_CORPUS = _mutation_corpus()
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    which=st.integers(0, len(_MUTATION_CORPUS) - 1),
+    flips=st.lists(
+        st.tuples(st.integers(0, 10**9), st.integers(0, 255)),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_mutated_valid_payloads_stay_on_valueerror_path(which, flips):
+    """Byte-flip a VALID payload anywhere: every decoder must either
+    still decode or raise ValueError/NotImplementedError — never
+    struct.error, ZeroDivisionError, MemoryError, or a numpy shape
+    error (the per-row fallback isolation contract; the ADVICE-r5 mp4
+    stsz and r6 JPEG-SOF/WAV-fmt findings were all this class)."""
+    payload, dec = _MUTATION_CORPUS[which]
+    buf = bytearray(payload)
+    for pos, val in flips:
+        buf[pos % len(buf)] = val
+    try:
+        dec(bytes(buf))
+    except (ValueError, NotImplementedError):
+        pass  # the contract; a successful decode is equally fine
