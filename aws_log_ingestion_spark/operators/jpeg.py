@@ -23,7 +23,14 @@ the dequantize + de-zigzag + IDCT runs BATCHED per component (one
 (N, 64) array and one broadcast matmul instead of 4-6 numpy calls per
 block). Cumulative 3.9-4.5x over the per-bit reader, bit-identical:
 ~580 img/s/core on textured 64x64 4:2:0, ~210 on dense-noise 4:4:4,
-~21 on 256x256 q75. Still fixture-grade next to libjpeg-turbo: a
+~21 on 256x256 q75. The lockstep batch decoder (`decode_jpeg_batch`)
+amortizes the remaining per-symbol overhead across a whole batch, and
+restart markers extend that to SINGLE images: every FFD0-D7 segment is
+an independent entropy stream (DC predictors reset), so a DRI image
+fans out into ceil(n_mcu/ri) lockstep lanes — measured 2.0-2.2x over
+the scalar loop for one 768x768 image at >=576 lanes, neutral below
+the crossover (which is exactly how production decoders parallelize
+huge scans). Still fixture-grade next to libjpeg-turbo: a
 production 100 TB image scan would put a real codec library on the
 executors and keep the identical mapInPandas plumbing
 (`multimodal.decode_media` dispatch, per-row error isolation).
@@ -203,14 +210,45 @@ def _build_huffman_lut(spec):
 _MAX_DECODE_PIXELS = 1 << 24
 
 
+def _scan_lanes(info: dict) -> int:
+    """Independent entropy lanes in one scan: ceil(n_mcu / per_seg).
+    Restart markers reset the DC predictors, so each restart segment
+    decodes independently — a single DRI image fans out into this many
+    lockstep lanes."""
+    comps = info["scan"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    n_mcu = (-(-info["sof"]["w"] // (8 * hmax))) * (
+        -(-info["sof"]["h"] // (8 * vmax))
+    )
+    return -(-n_mcu // (info["ri"] or n_mcu))
+
+
 def decode_jpeg(payload: bytes):
     """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB array
     ((H, W, 1) for single-component grayscale). ValueError on anything
     that isn't 8-bit baseline Huffman (progressive, arithmetic, 12-bit,
     truncated streams) — including arbitrary malformed bytes, so the
-    media operators' per-row fallback isolation holds."""
+    media operators' per-row fallback isolation holds. A single image
+    whose restart interval yields >= ``_LOCKSTEP_MIN`` independent
+    segments decodes through the lockstep lanes (bit-identical; any
+    lane failure falls back to the scalar decoder's exact error)."""
     try:
-        return _decode_jpeg(payload)
+        info = _parse_jpeg(payload)
+        if info["ri"] and _scan_lanes(info) >= _LOCKSTEP_MIN:
+            out = decode_jpeg_batch([payload])[0]
+            if isinstance(out, Exception):
+                raise out
+            return out
+        return _decode_scan(
+            payload,
+            info["data_start"],
+            info["sof"],
+            info["scan"],
+            info["qt"],
+            info["huff"],
+            info["ri"],
+        )
     except (struct.error, IndexError, StopIteration) as exc:
         raise ValueError(f"malformed JPEG: {exc}") from None
 
@@ -615,7 +653,13 @@ def decode_jpeg_batch(payloads) -> list:
             continue
         groups.setdefault(prep["key"], []).append((i, prep, p))
     for items in groups.values():
-        if len(items) < _LOCKSTEP_MIN:  # below the measured crossover
+        # eligibility counts LANES, not images: restart segments are
+        # independent streams, so one DRI image contributes
+        # ceil(n_mcu/per_seg) lanes of lockstep width
+        lanes = sum(
+            -(-p["n_mcu"] // p["per_seg"]) for _i, p, _raw in items
+        )
+        if lanes < _LOCKSTEP_MIN:  # below the measured crossover
             for i, _prep, p in items:
                 try:
                     results[i] = _decode_jpeg(p)
@@ -641,8 +685,19 @@ def decode_jpeg_frames(blobs) -> list:
     sequential ``decode_jpeg`` loop would. Video frames share tables and
     geometry, so they lockstep perfectly through ``decode_jpeg_batch``
     when the clip is long enough to clear the measured crossover."""
-    if len(blobs) < _LOCKSTEP_MIN:  # short clips: the scalar loop wins
-        return [decode_jpeg(b) for b in blobs]
+    if not blobs:
+        return []
+    if len(blobs) < _LOCKSTEP_MIN:
+        # short clips: the scalar loop wins UNLESS restart lanes
+        # multiply the effective width past the crossover (frames of
+        # one clip share geometry/tables, so the first frame's lane
+        # count stands for all)
+        try:
+            lanes1 = _scan_lanes(_parse_jpeg(bytes(blobs[0])))
+        except (ValueError, struct.error, IndexError, StopIteration):
+            lanes1 = 1
+        if lanes1 * len(blobs) < _LOCKSTEP_MIN:
+            return [decode_jpeg(b) for b in blobs]
     outs = decode_jpeg_batch(blobs)
     for o in outs:
         if isinstance(o, Exception):
@@ -721,24 +776,40 @@ def _decode_group(items, results) -> None:
     # the write path (overflow -> scalar fallback, keeping exactness)
     zz = np.zeros((int((n_mcu * bpm).sum()), 64), dtype=np.int32)
 
-    # ---- lockstep state, COMPACTED: one slot per in-flight image, all
+    # ---- lockstep state, COMPACTED: one lane per (image, restart
+    # segment) — restart markers reset the DC predictors, so every
+    # restart segment is an independent entropy stream and a single DRI
+    # image fans out into ceil(n_mcu/per_seg) concurrent lanes (that is
+    # what makes a lone large DRI image lockstep-eligible). All
     # iteration math runs on whole arrays (no per-iteration gathers of
-    # an active subset — that cost ~2x). `drow` maps a compacted slot
-    # back to its group row; arrays shrink only when an image finishes
-    # or fails (identical images finish together, so compaction is rare).
-    drow = np.arange(B, dtype=np.int64)
-    seg_i = np.zeros(B, dtype=np.int64)
-    pos = seg_start[:, 0].copy()
-    end = seg_end[:, 0].copy()
-    acc = np.zeros(B, dtype=np.int64)
-    nbits = np.zeros(B, dtype=np.int64)
-    cnt = np.zeros(B, dtype=np.int64)  # MCUs finished in current segment
-    mcu = np.zeros(B, dtype=np.int64)
-    slot = np.zeros(B, dtype=np.int64)
-    k = np.zeros(B, dtype=np.int64)
-    pred = np.zeros((B, ncomp), dtype=np.int64)
-    blk = base.copy()
+    # an active subset — that cost ~2x). `lrow` maps a compacted lane
+    # back to its group row; arrays shrink only when a lane finishes or
+    # its image fails.
     failed = np.zeros(B, dtype=bool)
+    s_need = -(-n_mcu // per_seg)  # segments the scalar decoder consumes
+    # fewer segments on the wire than lanes: the scalar redecode below
+    # raises the exact "truncated JPEG entropy data" error
+    failed |= n_segs < s_need
+    lrow_l: list = []
+    segj_l: list = []
+    for r in range(B):
+        if failed[r]:
+            continue
+        lrow_l += [r] * int(s_need[r])
+        segj_l += range(int(s_need[r]))
+    lrow = np.array(lrow_l, dtype=np.int64)
+    seg_j = np.array(segj_l, dtype=np.int64)
+    L = lrow.size
+    pos = seg_start[lrow, seg_j]
+    end = seg_end[lrow, seg_j]
+    mcu = seg_j * per_seg[lrow]  # this lane's first MCU
+    lane_end = np.minimum(mcu + per_seg[lrow], n_mcu[lrow])
+    blk = base[lrow] + mcu * bpm
+    acc = np.zeros(L, dtype=np.int64)
+    nbits = np.zeros(L, dtype=np.int64)
+    slot = np.zeros(L, dtype=np.int64)
+    k = np.zeros(L, dtype=np.int64)
+    pred = np.zeros((L, ncomp), dtype=np.int64)  # per-lane: resets at RST
     one = np.int64(1)
 
     # flat per-(image, slot, dc/ac) LUT-row select: one gather per symbol
@@ -747,9 +818,9 @@ def _decode_group(items, results) -> None:
         srow[:, ci0, 0] = dc_row[:, slot_ci_l[ci0]]
         srow[:, ci0, 1] = ac_row[:, slot_ci_l[ci0]]
     srow = srow.reshape(-1)
-    drow2 = drow * (bpm * 2)
+    lrow2 = lrow * (bpm * 2)
 
-    while drow.size:
+    while lrow.size:
         # one mask per iteration re-establishes the "acc holds exactly
         # nbits bits" invariant (the scalar masks before each refill);
         # the refill below then appends real bits, keeping it exact —
@@ -761,11 +832,11 @@ def _decode_group(items, results) -> None:
         nf = nbits < 16
         if nf.any():
             b1ok = nf & (pos < end)
-            acc = np.where(b1ok, (acc << 8) | data[drow, pos], acc)
+            acc = np.where(b1ok, (acc << 8) | data[lrow, pos], acc)
             nbits = nbits + b1ok * 8
             pos = pos + b1ok
             b2ok = (nbits < 16) & (pos < end)
-            acc = np.where(b2ok, (acc << 8) | data[drow, pos], acc)
+            acc = np.where(b2ok, (acc << 8) | data[lrow, pos], acc)
             nbits = nbits + b2ok * 8
             pos = pos + b2ok
         # branch-free 16-bit lookahead, exact for short tail reads too
@@ -774,7 +845,7 @@ def _decode_group(items, results) -> None:
         # ---- Huffman symbol (every in-flight image decodes one):
         # one LUT gather yields run/size/length pre-split
         isac = k != 0
-        pak = pak_all[srow[drow2 + slot + slot + isac], idxv]
+        pak = pak_all[srow[lrow2 + slot + slot + isac], idxv]
         ln = pak & 31
         bad = (ln == 0) | (ln > nbits)  # invalid code / stream exhausted
         size = (pak >> 5) & 31
@@ -784,7 +855,7 @@ def _decode_group(items, results) -> None:
         nbits = nbits - ln
         run = pak >> 10
 
-        done_blk = np.zeros(drow.size, dtype=bool)
+        done_blk = np.zeros(lrow.size, dtype=bool)
         sz0 = size == 0
         if sz0.any():
             # AC size==0: EOB (run<15) or ZRL (run==15, skip 16 zeros)
@@ -798,7 +869,7 @@ def _decode_group(items, results) -> None:
             if dz.any():
                 i_dz = np.nonzero(dz)[0]
                 ci_dz = slot_ci[slot[i_dz]]
-                zz[blk[i_dz], 0] = pred[drow[i_dz], ci_dz]
+                zz[blk[i_dz], 0] = pred[i_dz, ci_dz]
                 k[i_dz] = 1
         # size>0: zero-run advance, overflow check
         m = size > 0
@@ -814,12 +885,12 @@ def _decode_group(items, results) -> None:
             need = m & (nbits < size)
             if need.any():
                 b1ok = need & (pos < end)
-                acc = np.where(b1ok, (acc << 8) | data[drow, pos], acc)
+                acc = np.where(b1ok, (acc << 8) | data[lrow, pos], acc)
                 nbits = nbits + b1ok * 8
                 pos = pos + b1ok
                 need = m & (nbits < size)
                 b2ok = need & (pos < end)
-                acc = np.where(b2ok, (acc << 8) | data[drow, pos], acc)
+                acc = np.where(b2ok, (acc << 8) | data[lrow, pos], acc)
                 nbits = nbits + b2ok * 8
                 pos = pos + b2ok
                 short = m & (nbits < size)  # entropy stream exhausted
@@ -840,13 +911,13 @@ def _decode_group(items, results) -> None:
             i_d = i_m[~mac]
             if i_d.size:
                 ci_d = slot_ci[slot[i_d]]
-                pr = pred[drow[i_d], ci_d] + val[i_d]
+                pr = pred[i_d, ci_d] + val[i_d]
                 ovf = np.abs(pr) > 0x7FFFFFFF  # int32 zz store would wrap
                 if ovf.any():
                     bad[i_d[ovf]] = True  # -> exact scalar fallback
                     i_d, pr = i_d[~ovf], pr[~ovf]
                     ci_d = ci_d[~ovf]
-                pred[drow[i_d], ci_d] = pr
+                pred[i_d, ci_d] = pr
                 zz[blk[i_d], 0] = pr
                 k[i_d] = 1
             i_a = i_m[mac]
@@ -856,9 +927,12 @@ def _decode_group(items, results) -> None:
                 done_blk[i_a] = k[i_a] >= 64
 
         done_blk &= ~bad
-        finished = np.zeros(drow.size, dtype=bool)
+        finished = np.zeros(lrow.size, dtype=bool)
 
-        # ---- block/MCU/segment advance for completed blocks
+        # ---- block/MCU advance for completed blocks; a lane finishes
+        # at its own lane_end (its restart segment's last MCU) — the
+        # scalar's mid-stream segment switch no longer exists, each
+        # lane owns exactly one segment
         if done_blk.any():
             i_b = np.nonzero(done_blk)[0]
             k[i_b] = 0
@@ -867,35 +941,20 @@ def _decode_group(items, results) -> None:
             if md.size:
                 slot[md] = 0
                 mcu[md] += 1
-                cnt[md] += 1
-                finished[md[mcu[md] == n_mcu[drow[md]]]] = True
-                sd = md[
-                    (mcu[md] < n_mcu[drow[md]]) & (cnt[md] == per_seg[drow[md]])
-                ]
-                if sd.size:
-                    seg_i[sd] += 1
-                    trunc = seg_i[sd] >= n_segs[drow[sd]]
-                    if trunc.any():
-                        bad[sd[trunc]] = True  # truncated JPEG entropy data
-                        sd = sd[~trunc]
-                    pos[sd] = seg_start[drow[sd], seg_i[sd]]
-                    end[sd] = seg_end[drow[sd], seg_i[sd]]
-                    acc[sd] = 0
-                    nbits[sd] = 0
-                    cnt[sd] = 0
-                    pred[drow[sd], :] = 0
-            blk[i_b] = base[drow[i_b]] + mcu[i_b] * bpm + slot[i_b]
+                finished[md[mcu[md] == lane_end[md]]] = True
+            blk[i_b] = base[lrow[i_b]] + mcu[i_b] * bpm + slot[i_b]
 
-        # ---- compact away finished/failed images (rare)
+        # ---- compact away finished lanes and failed images (a bad
+        # lane fails its whole image, so its sibling lanes drop too)
         if bad.any() or finished.any():
-            failed[drow[bad]] = True
-            keep = ~(bad | finished)
-            drow, seg_i, pos, end, acc, nbits, cnt, mcu, slot, k, blk = (
-                drow[keep], seg_i[keep], pos[keep], end[keep], acc[keep],
-                nbits[keep], cnt[keep], mcu[keep], slot[keep], k[keep],
-                blk[keep],
+            failed[lrow[bad]] = True
+            keep = ~(bad | finished | failed[lrow])
+            lrow, pos, end, acc, nbits, mcu, lane_end, slot, k, blk = (
+                lrow[keep], pos[keep], end[keep], acc[keep], nbits[keep],
+                mcu[keep], lane_end[keep], slot[keep], k[keep], blk[keep],
             )
-            drow2 = drow2[keep]
+            pred = pred[keep]
+            lrow2 = lrow2[keep]
 
     # ---- assemble successes (batched across images sharing geometry —
     # per-image IDCT calls on small planes are dispatch-bound);
@@ -1034,7 +1093,7 @@ class _BitWriter:
                 self.acc = 0
                 self.nbits = 0
 
-    def flush(self) -> bytes:
+    def _pad(self) -> None:
         if self.nbits:
             self.acc <<= 8 - self.nbits
             self.acc |= (1 << (8 - self.nbits)) - 1  # pad with 1s
@@ -1043,6 +1102,14 @@ class _BitWriter:
                 self.out.append(0x00)
             self.acc = 0
             self.nbits = 0
+
+    def restart(self, n: int) -> None:
+        """Byte-align and emit RSTn (markers are written unstuffed)."""
+        self._pad()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+    def flush(self) -> bytes:
+        self._pad()
         return bytes(self.out)
 
 
@@ -1088,10 +1155,20 @@ def _encode_block(writer, block, quant, dc_codes, ac_codes, pred):
     return int(zz[0])
 
 
-def encode_jpeg(img, quality: int = 90, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode (H, W[, 1|3]) uint8 as a baseline JPEG (4:4:4, or 4:2:0
     box-averaged chroma when ``subsample``). Gray input emits a
-    single-component JPEG."""
+    single-component JPEG. ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker every that-many MCUs (DC predictors reset) —
+    identical decoded pixels, but the entropy stream splits into
+    independent segments the lockstep decoder fans out as parallel
+    lanes (`_decode_group`), which is also how production encoders make
+    huge scans decodable in parallel."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -1135,8 +1212,14 @@ def encode_jpeg(img, quality: int = 90, subsample: bool = False) -> bytes:
     writer = _BitWriter()
     dc_l, ac_l = _encode_codes(DC_LUMA_SPEC), _encode_codes(AC_LUMA_SPEC)
     dc_c, ac_c = _encode_codes(DC_CHROMA_SPEC), _encode_codes(AC_CHROMA_SPEC)
+    restart_interval = int(restart_interval)
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval must fit in 16 bits")
     pred = [0] * nc
     for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.restart((mcu // restart_interval) - 1)
+            pred = [0] * nc
         my, mx = divmod(mcu, mcus_x)
         for ci in range(nc):
             fh, fv = hv[ci]
@@ -1173,6 +1256,8 @@ def encode_jpeg(img, quality: int = 90, subsample: bool = False) -> bytes:
     out += dht(0, 0, DC_LUMA_SPEC) + dht(1, 0, AC_LUMA_SPEC)
     if nc == 3:
         out += dht(0, 1, DC_CHROMA_SPEC) + dht(1, 1, AC_CHROMA_SPEC)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])

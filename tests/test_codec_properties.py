@@ -30,6 +30,20 @@ def test_jpeg_round_trip_shape_and_bounded_error(h, w, seed, q):
 
 
 @settings(max_examples=25, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1), ri=st.integers(1, 9))
+def test_jpeg_restart_interval_decode_identical(h, w, seed, ri):
+    """DRI re-frames the entropy stream without touching coefficients:
+    decoded pixels match the no-DRI encode exactly, whichever decode
+    path (scalar or restart-lane lockstep) the interval selects."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quality=75, restart_interval=ri)),
+        decode_jpeg(encode_jpeg(img, quality=75)),
+    )
+
+
+@settings(max_examples=25, deadline=None)
 @given(h=dims, w=dims, v=st.integers(0, 127))
 def test_jpeg_even_constant_is_dc_exact(h, w, v):
     """Even constant-gray images round-trip bit-exactly at quality 50
@@ -121,6 +135,7 @@ def _mutation_corpus():
     pcm = rng.randint(-500, 500, (64, 2)).astype(np.int32)
     return [
         (encode_jpeg(img, quality=75), decode_jpeg),
+        (encode_jpeg(img, quality=75, restart_interval=1), decode_jpeg),
         (encode_avi_mjpeg([img, img], fps=10), decode_avi_mjpeg),
         (encode_mp4_mjpeg([img, img], fps=10), decode_mp4_mjpeg),
         (encode_png(img), decode_png),

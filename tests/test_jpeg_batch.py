@@ -161,6 +161,60 @@ def test_decode_jpeg_frames_raises_first_error(lockstep):
     assert str(exc.value) == str(want)
 
 
+def test_batch_identity_dri_corpus(lockstep):
+    # restart-interval images fan out into one lane per segment; mixed
+    # intervals (incl. none) in one sampling group must stay aligned
+    payloads = [
+        encode_jpeg(_img(s, 40, 56), quality=70, restart_interval=ri)
+        for s, ri in enumerate([0, 1, 2, 3, 5, 7, 13, 100, 0, 4])
+    ]
+    payloads.append(payloads[4][:-25])  # truncated mid-segment
+    _assert_aligned(payloads)
+
+
+def test_single_dri_image_routes_through_lanes(lockstep):
+    # one image, many restart segments: public decode_jpeg takes the
+    # lockstep lanes and must match the pure scalar decoder bit-for-bit
+    p = encode_jpeg(_img(3, 64, 96), quality=75, restart_interval=1)
+    info = jpeg_mod._parse_jpeg(p)
+    assert jpeg_mod._scan_lanes(info) == 96  # 8x12 MCUs, one lane each
+    got = decode_jpeg(p)
+    want = jpeg_mod._decode_jpeg(p)
+    assert np.array_equal(got, want)
+
+
+def test_dri_truncated_at_marker_boundary_error_parity(lockstep):
+    # chop the stream right after an RSTn marker: fewer segments on the
+    # wire than lanes -> the batch pre-fails the image and the scalar
+    # redecode must surface the scalar decoder's exact truncation error
+    p = encode_jpeg(_img(9, 48, 48), quality=70, restart_interval=2)
+    body = p[2:]
+    rst = body.index(b"\xff\xd4")  # a mid-stream restart marker
+    cut = p[: 2 + rst + 2] + b"\xff\xd9"
+    _assert_aligned([cut, p])
+
+
+def test_frames_short_dri_clip_takes_lane_path(lockstep, monkeypatch):
+    # a clip far below the frame-count crossover still locksteps when
+    # per-frame restart lanes multiply the width past it — pin that the
+    # batch path actually runs (scalar loop would not call _decode_group)
+    monkeypatch.setattr(jpeg_mod, "_LOCKSTEP_MIN", 12)
+    frames = [_img(40 + s, 32, 32) for s in range(4)]
+    blobs = [encode_jpeg(f, quality=75, restart_interval=2) for f in frames]
+    calls = []
+    orig = jpeg_mod._decode_group
+    monkeypatch.setattr(
+        jpeg_mod,
+        "_decode_group",
+        lambda items, results: calls.append(len(items)) or orig(items, results),
+    )
+    got = decode_jpeg_frames(blobs)
+    assert calls, "short DRI clip should route through the lockstep group"
+    seq = [jpeg_mod._decode_jpeg(b) for b in blobs]
+    for a, b in zip(got, seq):
+        assert np.array_equal(a, b)
+
+
 def test_avi_and_mp4_roundtrip_through_batch_path(lockstep):
     # constant frames are DC-exact so the round trip is bit-exact; the
     # lowered threshold routes all three containers through lockstep

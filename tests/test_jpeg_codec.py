@@ -72,6 +72,29 @@ def test_hand_built_restart_markers_reset_dc_predictor():
     assert (img[:, 8:, 0] == -9 * 2 + 128).all()
 
 
+def test_encoder_restart_interval_pixels_identical():
+    # DRI only re-frames the entropy stream (predictors reset at each
+    # RSTn): the quantized coefficients are unchanged, so decoded
+    # pixels must equal the no-DRI encode bit-for-bit
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    want = decode_jpeg(encode_jpeg(img, quality=80))
+    for ri in (1, 3, 8, 1000):
+        p = encode_jpeg(img, quality=80, restart_interval=ri)
+        assert np.array_equal(decode_jpeg(p), want), ri
+    # the stream really carries the markers: DRI segment + >=1 RSTn
+    p = encode_jpeg(img, quality=80, restart_interval=2)
+    assert b"\xff\xdd\x00\x04\x00\x02" in p
+    assert b"\xff\xd0" in p
+
+
+def test_encoder_restart_interval_validates_range():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    for bad in (-1, 1 << 16):
+        with pytest.raises(ValueError):
+            encode_jpeg(img, restart_interval=bad)
+
+
 def test_constant_image_roundtrip_exact():
     img = np.full((16, 24, 3), 137, dtype=np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=90))
