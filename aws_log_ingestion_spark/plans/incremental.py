@@ -1,0 +1,395 @@
+"""Incremental ingest: process only NEW input files per run.
+
+``run_pipeline`` (plans/job.py) is a full-corpus job with stage-level
+resume; at 10^12 turns the input table *grows* between runs and
+reprocessing the corpus per run is not viable. This plan keeps the
+pipeline's outputs equal to "run_pipeline over the full current input"
+while doing per-run work proportional to the NEW data:
+
+- The checkpoint manifest records, per ingest batch, the exact input
+  files consumed (path + byte size). A new run lists the input
+  directory, diffs against the union of recorded batches, and processes
+  only the delta. Input files are append-only (a recorded file whose
+  size changed raises ValueError) — the parquet analog of immutable
+  Iceberg data files.
+
+- Every output root gains an ``ingest_batch`` partition level:
+  ``classified/ingest_batch=N/conv_bucket=K/``,
+  ``infra/ingest_batch=N/sink=S/``, ``logging/ingest_batch=N/``,
+  ``chunk_stats/ingest_batch=N/``. A batch commits via dynamic
+  partition overwrite of its own directories, so a killed run re-runs
+  idempotently (the batch record is written last).
+
+- Conversations that REAPPEAR in a later batch (late turns appended to
+  an existing conv_id) are handled by conversation-scoped recompute:
+  every pipeline derivation is conv-local (classification ``any()``,
+  forward fills, chunk replay — SURVEY.md §2 rows 3, 8, 9, 16), so the
+  affected conversations' prior raw turns are pulled back out of the
+  hub (which keeps the raw transcript columns), unioned with the new
+  turns, recomputed, and written into the new batch; the old batches
+  drop those conversations via copy-on-write. COW granularity is
+  (ingest_batch, conv_bucket) on the hub — ``conv_bucket =
+  crc32(conv_id) % 32`` is computable from the key alone, so partition
+  pruning limits the rewrite to the buckets the new batch actually
+  touches — and whole-ingest_batch on the sinks. In the Iceberg
+  deployment this COW becomes row-level deletes (merge-on-read) or a
+  ``MERGE INTO``; the parquet fallback expresses the same contract with
+  the manifest as the ledger.
+
+Reference semantics note: the Lambda reference is already incremental —
+each invocation is one self-contained entry, and at-least-once delivery
+plus idempotent sinks make redelivery safe
+(/root/reference/src/function.py:136-177,286-306). This plan is the
+distributed generalization: the unit of ingest is a file batch, the
+unit of recompute is a conversation, and the manifest is the dedup
+ledger.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..operators import checkpoint as ckpt
+from ..operators import chunks as chunk_op
+from ..operators.melt import melt_project
+from ..operators.route import INFRA_SINKS, infra_union
+from ..sources.derive import conv_meta_from_transcripts
+from .job import prepare
+
+RAW_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+N_BUCKETS = 32  # must match checkpoint.observed_write_bucketed
+
+
+def list_input_files(in_dir: str) -> list[dict]:
+    """Parquet files under ``in_dir`` as [{file: relpath, bytes: size}],
+    sorted by path. Driver-side listing: at 10^12 turns this is the
+    table-format metadata read (Iceberg snapshot diff), not a data scan."""
+    out = []
+    for root, _dirs, files in os.walk(in_dir):
+        for fname in sorted(files):
+            if fname.endswith(".parquet"):
+                fp = os.path.join(root, fname)
+                out.append(
+                    {
+                        "file": os.path.relpath(fp, in_dir),
+                        "bytes": os.path.getsize(fp),
+                    }
+                )
+    return sorted(out, key=lambda e: e["file"])
+
+
+def _batch_records(log: ckpt.CheckpointLog) -> list[dict]:
+    records = []
+    k = 0
+    while (rec := log.read(f"ingest.b{k}")) is not None:
+        records.append(rec)
+        k += 1
+    return records
+
+
+def _bucket_col():
+    return (F.crc32(F.col("conv_id")) % N_BUCKETS).cast("int")
+
+
+def _cfg_fingerprint(cfg: PipelineConfig) -> dict:
+    return {k: (sorted(v.items()) if isinstance(v, dict) else v)
+            for k, v in dataclasses.asdict(cfg).items()}
+
+
+def _counts_from_lineage(out_dir: str, logging_enabled: bool) -> dict[str, int]:
+    """Per-sink row counts straight from parquet footers across ALL
+    batches — no Spark job. On Iceberg this is a manifest aggregate."""
+    counts = {f"infra_{s}_rows": 0 for s in INFRA_SINKS}
+    for entry in ckpt.file_lineage(os.path.join(out_dir, "infra")):
+        for s in INFRA_SINKS:
+            if f"sink={s}/" in entry["file"]:
+                counts[f"infra_{s}_rows"] += entry["rows"]
+                break
+    if logging_enabled:
+        counts["logging_rows"] = sum(
+            e["rows"] for e in ckpt.file_lineage(os.path.join(out_dir, "logging"))
+        )
+    return counts
+
+
+def _write_batch_partition(
+    df: DataFrame, root: str, partition_cols: list[str], order_cols: list[str]
+) -> None:
+    """Dynamic-partition-overwrite commit of one batch's directories.
+    Only the partitions present in ``df`` are replaced — a re-run after a
+    mid-write kill converges (idempotent), and other batches' directories
+    are never touched."""
+    (
+        df.sortWithinPartitions(*partition_cols, *order_cols)
+        .write.mode("overwrite")
+        .options(**ckpt.parquet_text_options(df))
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )
+
+
+def _staged_rows(path: str) -> int:
+    return sum(e["rows"] for e in ckpt.file_lineage(path))
+
+
+def run_incremental(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Ingest the input files not yet recorded in the manifest.
+
+    Returns {"counts": <run_pipeline-compatible per-sink counts over ALL
+    batches>, "batch_id": int | None, "new_files": [...],
+    "superseded_convs": int}. ``batch_id`` is None when there was
+    nothing new to do.
+    """
+    cfg = cfg or PipelineConfig()
+    log = ckpt.CheckpointLog(out_dir)
+    batches = _batch_records(log)
+
+    fingerprint = _cfg_fingerprint(cfg)
+    for rec in batches:
+        if rec.get("config") != fingerprint:
+            raise ValueError(
+                "pipeline config changed across incremental runs; "
+                "reprocess from scratch (new out_dir) instead"
+            )
+
+    known: dict[str, int] = {}
+    for rec in batches:
+        for f in rec["files"]:
+            known[f["file"]] = f["bytes"]
+    current = list_input_files(in_dir)
+    changed = [f["file"] for f in current if f["file"] in known and known[f["file"]] != f["bytes"]]
+    if changed:
+        raise ValueError(
+            f"input files are append-only; changed in place: {changed}"
+        )
+    new_files = [f for f in current if f["file"] not in known]
+    if not new_files:
+        return {
+            "counts": _counts_from_lineage(out_dir, cfg.logging_enabled),
+            "batch_id": None,
+            "new_files": [],
+            "superseded_convs": 0,
+        }
+
+    batch_id = len(batches)
+    bstage = f"ingest.b{batch_id}"
+    staging = os.path.join(out_dir, "_staging", f"b{batch_id}")
+    hub_root = os.path.join(out_dir, "classified")
+    sink_roots = {
+        "infra": (os.path.join(out_dir, "infra"), ["ingest_batch", "sink"]),
+        "logging": (os.path.join(out_dir, "logging"), ["ingest_batch"]),
+        "chunk_stats": (os.path.join(out_dir, "chunk_stats"), ["ingest_batch"]),
+    }
+
+    new_turns = spark.read.parquet(
+        *[os.path.join(in_dir, f["file"]) for f in new_files]
+    ).select(*RAW_COLS)
+
+    # --- overlap detection + COW staging (all BEFORE any mutation) ------
+    # The staged marker freezes the decision: a re-run after a mid-COW
+    # kill must not re-derive "affected" from a half-rewritten hub.
+    staged = log.read(f"{bstage}.staged")
+    if staged is None:
+        affected_pairs: list[list[int]] = []
+        superseded_convs = 0
+        if batches:
+            new_convs = new_turns.select("conv_id").distinct()
+            # bucket ids are computable from the keys alone -> partition
+            # pruning: only the buckets the new batch hashes into are read
+            new_buckets = [
+                r["b"]
+                for r in new_convs.select(_bucket_col().alias("b")).distinct().collect()
+            ]
+            hub = spark.read.parquet(hub_root)
+            candidates = hub.filter(F.col("conv_bucket").isin(new_buckets))
+            affected_pairs = sorted(
+                [int(r["ingest_batch"]), int(r["conv_bucket"])]
+                for r in candidates.join(new_convs, "conv_id", "semi")
+                .select("ingest_batch", "conv_bucket")
+                .distinct()
+                .collect()
+            )
+            if affected_pairs:
+                cond = None
+                for b, k in affected_pairs:
+                    term = (F.col("ingest_batch") == b) & (F.col("conv_bucket") == k)
+                    cond = term if cond is None else (cond | term)
+                affected_parts = hub.filter(cond)
+                superseded_raw = affected_parts.join(
+                    new_convs, "conv_id", "semi"
+                ).select(*RAW_COLS)
+                superseded_raw.write.mode("overwrite").parquet(
+                    os.path.join(staging, "superseded_raw")
+                )
+                retained = affected_parts.join(new_convs, "conv_id", "anti")
+                retained.write.mode("overwrite").partitionBy(
+                    "ingest_batch", "conv_bucket"
+                ).parquet(os.path.join(staging, "hub_retained"))
+                superseded_convs = (
+                    spark.read.parquet(os.path.join(staging, "superseded_raw"))
+                    .select("conv_id")
+                    .distinct()
+                    .count()
+                )
+                # sink retained rows per affected old batch (anti-join on
+                # conv_id; whole-batch granularity — Iceberg would do
+                # row-level deletes here)
+                affected_batches = sorted({b for b, _ in affected_pairs})
+                for name, (root, _pcols) in sink_roots.items():
+                    if not os.path.isdir(root):
+                        continue
+                    old = spark.read.parquet(root).filter(
+                        F.col("ingest_batch").isin(affected_batches)
+                    )
+                    old.join(new_convs, "conv_id", "anti").write.mode(
+                        "overwrite"
+                    ).partitionBy("ingest_batch").parquet(
+                        os.path.join(staging, f"{name}_retained")
+                    )
+        log.record(
+            f"{bstage}.staged",
+            {
+                "affected_pairs": affected_pairs,
+                "superseded_convs": superseded_convs,
+                "staging": staging,
+            },
+        )
+        staged = log.read(f"{bstage}.staged")
+    affected_pairs = [tuple(p) for p in staged["affected_pairs"]]
+    superseded_convs = staged["superseded_convs"]
+
+    # --- recompute input: new turns + prior turns of superseded convs ---
+    inc_turns = new_turns
+    if affected_pairs:
+        inc_turns = inc_turns.unionByName(
+            spark.read.parquet(os.path.join(staging, "superseded_raw"))
+        )
+    conv_meta = conv_meta_from_transcripts(inc_turns)
+    inc_hub = (
+        prepare(inc_turns, conv_meta, cfg)
+        .withColumn("ingest_batch", F.lit(batch_id))
+        .withColumn("conv_bucket", _bucket_col())
+    )
+
+    # --- new-batch hub + sinks (dynamic overwrite = idempotent) ---------
+    _write_batch_partition(
+        inc_hub, hub_root, ["ingest_batch", "conv_bucket"], ["conv_id", "turn_idx"]
+    )
+    batch_hub = spark.read.parquet(hub_root).filter(
+        F.col("ingest_batch") == batch_id
+    ).drop("ingest_batch", "conv_bucket")
+
+    if cfg.infra_enabled:
+        _write_batch_partition(
+            infra_union(batch_hub, cfg).withColumn("ingest_batch", F.lit(batch_id)),
+            sink_roots["infra"][0],
+            ["ingest_batch", "sink"],
+            ["conv_id", "turn_idx"],
+        )
+    if cfg.logging_enabled:
+        _write_batch_partition(
+            melt_project(batch_hub, cfg).withColumn("ingest_batch", F.lit(batch_id)),
+            sink_roots["logging"][0],
+            ["ingest_batch"],
+            ["conv_id", "turn_idx"],
+        )
+    stats_frames = []
+    if cfg.infra_enabled:
+        stats_frames.append(
+            chunk_op.chunk_counts_fast(infra_union(batch_hub, cfg), "infra", cfg)
+        )
+    if cfg.logging_enabled:
+        stats_frames.append(chunk_op.chunk_counts_fast(batch_hub, "logging", cfg))
+    if stats_frames:
+        stats = stats_frames[0]
+        for extra in stats_frames[1:]:
+            stats = stats.unionByName(extra)
+        _write_batch_partition(
+            stats.withColumn("ingest_batch", F.lit(batch_id)),
+            sink_roots["chunk_stats"][0],
+            ["ingest_batch"],
+            ["conv_id"],
+        )
+
+    # --- COW commit: drop superseded convs from old batches -------------
+    if affected_pairs and log.read(f"{bstage}.cow") is None:
+        # hub: rmtree the affected (batch, bucket) dirs (covers the
+        # all-rows-superseded partitions dynamic overwrite can't clear),
+        # then rewrite retained rows from staging — both idempotent.
+        for b, k in affected_pairs:
+            shutil.rmtree(
+                os.path.join(hub_root, f"ingest_batch={b}", f"conv_bucket={k}"),
+                ignore_errors=True,
+            )
+        hub_staged = os.path.join(staging, "hub_retained")
+        if _staged_rows(hub_staged):
+            _write_batch_partition(
+                spark.read.parquet(hub_staged),
+                hub_root,
+                ["ingest_batch", "conv_bucket"],
+                ["conv_id", "turn_idx"],
+            )
+        affected_batches = sorted({b for b, _ in affected_pairs})
+        for name, (root, pcols) in sink_roots.items():
+            for b in affected_batches:
+                shutil.rmtree(
+                    os.path.join(root, f"ingest_batch={b}"), ignore_errors=True
+                )
+            staged_dir = os.path.join(staging, f"{name}_retained")
+            if _staged_rows(staged_dir):
+                _write_batch_partition(
+                    spark.read.parquet(staged_dir), root, pcols, ["conv_id"]
+                )
+        log.record(f"{bstage}.cow", {"affected_pairs": [list(p) for p in affected_pairs]})
+
+    # --- totals + batch record (LAST: marks the files as ingested) ------
+    counts = _counts_from_lineage(out_dir, cfg.logging_enabled)
+    chunk_totals = []
+    if os.path.isdir(sink_roots["chunk_stats"][0]):
+        chunk_totals = [
+            r.asDict()
+            for r in chunk_op.chunk_totals_fast(
+                spark.read.parquet(sink_roots["chunk_stats"][0]).drop("ingest_batch")
+            ).collect()
+        ]
+    log.record(
+        bstage,
+        {
+            "rows": sum(counts.values()),
+            "files": new_files,
+            "counts": counts,
+            "chunk_totals": chunk_totals,
+            "superseded_convs": superseded_convs,
+            "affected_pairs": [list(p) for p in affected_pairs],
+            "config": fingerprint,
+        },
+    )
+    shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "counts": counts,
+        "batch_id": batch_id,
+        "new_files": [f["file"] for f in new_files],
+        "superseded_convs": superseded_convs,
+    }
+
+
+def main(argv: list[str]) -> None:
+    from ..session import get_spark
+
+    in_dir = argv[1]
+    out_dir = argv[2]
+    spark = get_spark("transcript-log-pipeline-incremental")
+    cfg = PipelineConfig(logging_enabled=True)
+    result = run_incremental(spark, in_dir, out_dir, cfg)
+    print(result["counts"])

@@ -145,3 +145,14 @@ def conv_meta_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the (conv_id, tool) broadcast lookup from the same events."""
     load_events(spark, sf_dir).createOrReplaceTempView("events")
     return spark.sql(conv_meta_sql("spark"))
+
+
+def conv_meta_from_transcripts(transcripts: DataFrame) -> DataFrame:
+    """The same lookup derived from a transcript DataFrame directly —
+    for inputs that arrive as transcript files (plans/incremental.py)
+    rather than via the events derivation. Deterministic per (conv_id,
+    tool), so meta rows built batch-by-batch agree across batches."""
+    transcripts.createOrReplaceTempView("__conv_meta_src")
+    return transcripts.sparkSession.sql(
+        _CONV_META_TEMPLATE.format(TRANSCRIPTS="SELECT * FROM __conv_meta_src")
+    )

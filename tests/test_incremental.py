@@ -1,0 +1,228 @@
+"""Incremental ingest (plans/incremental.py): per-batch file diffing,
+batch-equivalence with the one-shot pipeline, and conversation-scoped
+copy-on-write recompute when late turns extend existing conversations.
+
+The equivalence target is exact: after any sequence of incremental runs,
+every sink's row multiset equals ``run_pipeline`` over the full current
+input. The overlap batch includes a conversation whose extension FLIPS
+its classification (an ``other`` conversation gains an NR marker line →
+the whole conversation becomes ``lambda`` and the infra filter applies),
+which only a conversation-scoped recompute can get right — a row-local
+append would leave the old rows routed to the stale sink.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.config import PipelineConfig
+from aws_log_ingestion_spark.plans.incremental import run_incremental
+from aws_log_ingestion_spark.plans.job import run_pipeline
+from aws_log_ingestion_spark.sources.derive import (
+    conv_meta_from_transcripts,
+    transcripts_from_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+CFG = PipelineConfig(logging_enabled=True)
+
+# conversations extended in batch C (late turns appended):
+#   c0:  user 0 % 8 == 0 → lambda conv; extension lines carry no
+#        RequestId, so their lambda_request_id must be forward-filled
+#        from the conversation's OLD tail (cross-batch fill).
+#   c3:  user 3 % 8 == 3 → lambda log-group but no lambda message →
+#        sink 'other'; the extension adds an NR marker line, flipping
+#        the WHOLE conversation to sink 'lambda'.
+EXT_FILL_CONV = "c0"
+EXT_FLIP_CONV = "c3"
+NR_SHORT = '[1,"NR_LAMBDA_MONITORING","H4sIAImox"]'
+
+
+def _grp(conv_id_col):
+    return F.substring(conv_id_col, 2, 10).cast("int") % 3
+
+
+def _copy_parts(src_dir: str, in_dir: str, prefix: str) -> None:
+    """Move a Spark write's part files into the shared input dir under
+    stable names (the input contract is a growing set of files)."""
+    i = 0
+    for fname in sorted(os.listdir(src_dir)):
+        if fname.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(src_dir, fname),
+                os.path.join(in_dir, f"{prefix}_{i}.parquet"),
+            )
+            i += 1
+    assert i > 0
+
+
+def _extension_rows(spark, transcripts):
+    """Late-turn rows for the two extended conversations."""
+    tails = {
+        r["conv_id"]: r["m"]
+        for r in transcripts.filter(
+            F.col("conv_id").isin(EXT_FILL_CONV, EXT_FLIP_CONV)
+        )
+        .groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("m"))
+        .collect()
+    }
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        (EXT_FILL_CONV, tails[EXT_FILL_CONV] + 1, "assistant",
+         "late line with no request id", "lambda", ts),
+        (EXT_FILL_CONV, tails[EXT_FILL_CONV] + 2, "tool",
+         "another late line", "lambda", ts),
+        (EXT_FLIP_CONV, tails[EXT_FLIP_CONV] + 1, "system",
+         NR_SHORT, "lambda", ts),
+    ]
+    return spark.createDataFrame(
+        rows, schema=transcripts.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ).schema
+    )
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    """Three conversation-aligned input batches + the incremental out dir."""
+    base = tmp_path_factory.mktemp("incremental")
+    in_dir = str(base / "input")
+    os.makedirs(in_dir)
+    transcripts = transcripts_from_events(spark, SF_DIR)
+    stage = str(base / "stage")
+    batches = {
+        "a": transcripts.filter(_grp(F.col("conv_id")) == 0),
+        "b": transcripts.filter(_grp(F.col("conv_id")) == 1),
+    }
+    ext = _extension_rows(spark, batches["a"])
+    batches["c"] = transcripts.filter(_grp(F.col("conv_id")) == 2).unionByName(ext)
+    for name, df in batches.items():
+        df.repartition(2).write.mode("overwrite").parquet(f"{stage}/{name}")
+    return {
+        "in_dir": in_dir,
+        "stage": stage,
+        "out": str(base / "out"),
+        "oneshot": str(base / "oneshot"),
+    }
+
+
+def _sorted_cols(df):
+    return df.select(*sorted(df.columns))
+
+
+def _assert_same_rows(got, want, label):
+    got, want = _sorted_cols(got), _sorted_cols(want)
+    assert sorted(got.columns) == sorted(want.columns), label
+    assert got.exceptAll(want).count() == 0, f"{label}: extra rows"
+    assert want.exceptAll(got).count() == 0, f"{label}: missing rows"
+
+
+def _oneshot(spark, in_dir, out_dir):
+    """run_pipeline over the full current input (the equivalence target)."""
+    full = spark.read.parquet(in_dir)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    return run_pipeline(
+        spark, full, conv_meta_from_transcripts(full), out_dir, CFG, resume=False
+    )
+
+
+def _compare_outputs(spark, inc_out, one_out):
+    for sink, drop_inc, drop_one in [
+        ("classified", ["ingest_batch", "conv_bucket"], ["conv_bucket"]),
+        ("infra", ["ingest_batch"], []),
+        ("logging", ["ingest_batch"], []),
+        ("chunk_stats", ["ingest_batch"], []),
+    ]:
+        got = spark.read.parquet(f"{inc_out}/{sink}").drop(*drop_inc)
+        want = spark.read.parquet(f"{one_out}/{sink}").drop(*drop_one)
+        _assert_same_rows(got, want, sink)
+
+
+def test_b0_bootstrap_equals_oneshot(spark, env):
+    _copy_parts(f"{env['stage']}/a", env["in_dir"], "batch_a")
+    result = run_incremental(spark, env["in_dir"], env["out"], CFG)
+    assert result["batch_id"] == 0
+    assert result["superseded_convs"] == 0
+    one = _oneshot(spark, env["in_dir"], env["oneshot"])
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, env["out"], env["oneshot"])
+
+
+def test_b1_disjoint_append(spark, env):
+    _copy_parts(f"{env['stage']}/b", env["in_dir"], "batch_b")
+    result = run_incremental(spark, env["in_dir"], env["out"], CFG)
+    assert result["batch_id"] == 1
+    assert result["superseded_convs"] == 0  # conversation-aligned batch
+    one = _oneshot(spark, env["in_dir"], env["oneshot"])
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, env["out"], env["oneshot"])
+
+
+def test_b2_overlap_copy_on_write(spark, env):
+    _copy_parts(f"{env['stage']}/c", env["in_dir"], "batch_c")
+    result = run_incremental(spark, env["in_dir"], env["out"], CFG)
+    assert result["batch_id"] == 2
+    assert result["superseded_convs"] == 2  # c0 (fill) + c3 (flip)
+    one = _oneshot(spark, env["in_dir"], env["oneshot"])
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, env["out"], env["oneshot"])
+
+    hub = spark.read.parquet(f"{env['out']}/classified")
+    extended = hub.filter(F.col("conv_id").isin(EXT_FILL_CONV, EXT_FLIP_CONV))
+    # COW removed the superseded conversations from the old batches…
+    assert extended.filter(F.col("ingest_batch") < 2).count() == 0
+    # …and the recomputed rows live (once) in the new batch
+    assert (
+        extended.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
+        == 0
+    )
+    # classification flip: EVERY row of c3 (old turns included) is lambda now
+    flip = hub.filter(F.col("conv_id") == EXT_FLIP_CONV)
+    assert flip.filter(F.col("sink") != "lambda").count() == 0
+    # cross-batch forward fill: the late no-RequestId lines inherit the
+    # request id from the conversation's old tail
+    late = (
+        spark.read.parquet(f"{env['out']}/logging")
+        .filter(
+            (F.col("conv_id") == EXT_FILL_CONV)
+            & F.col("message").startswith("late line")
+        )
+        .select("lambda_request_id")
+        .collect()
+    )
+    assert len(late) == 1 and late[0]["lambda_request_id"]
+
+
+def test_noop_when_no_new_files(spark, env):
+    before = run_incremental(spark, env["in_dir"], env["out"], CFG)
+    assert before["batch_id"] is None
+    assert before["new_files"] == []
+    one = _oneshot(spark, env["in_dir"], env["oneshot"])
+    assert before["counts"] == one["counts"]
+
+
+def test_changed_file_rejected(spark, env, tmp_path):
+    victim = os.path.join(env["in_dir"], "batch_a_0.parquet")
+    original = victim + ".orig"
+    shutil.copy(victim, original)
+    try:
+        with open(victim, "ab") as f:
+            f.write(b"x")
+        with pytest.raises(ValueError, match="append-only"):
+            run_incremental(spark, env["in_dir"], env["out"], CFG)
+    finally:
+        os.replace(original, victim)
+
+
+def test_config_change_rejected(spark, env):
+    with pytest.raises(ValueError, match="config changed"):
+        run_incremental(
+            spark, env["in_dir"], env["out"], PipelineConfig(logging_enabled=False)
+        )
