@@ -143,6 +143,7 @@ def run_incremental(
     in_dir: str,
     out_dir: str,
     cfg: PipelineConfig | None = None,
+    fail_at: str | None = None,
 ) -> dict:
     """Ingest the input files not yet recorded in the manifest.
 
@@ -150,6 +151,11 @@ def run_incremental(
     batches>, "batch_id": int | None, "new_files": [...],
     "superseded_convs": int}. ``batch_id`` is None when there was
     nothing new to do.
+
+    ``fail_at`` is a test hook simulating a mid-run kill: 'staged'
+    raises right after the COW staging commit, 'new_batch' after the
+    new batch's writes but before the COW commit. A plain re-run must
+    converge to the same final state (tests/test_incremental.py).
     """
     cfg = cfg or PipelineConfig()
     log = ckpt.CheckpointLog(out_dir)
@@ -266,6 +272,8 @@ def run_incremental(
             },
         )
         staged = log.read(f"{bstage}.staged")
+    if fail_at == "staged":
+        raise RuntimeError("injected kill at staged")
     affected_pairs = [tuple(p) for p in staged["affected_pairs"]]
     superseded_convs = staged["superseded_convs"]
 
@@ -321,6 +329,9 @@ def run_incremental(
             ["ingest_batch"],
             ["conv_id"],
         )
+
+    if fail_at == "new_batch":
+        raise RuntimeError("injected kill at new_batch")
 
     # --- COW commit: drop superseded convs from old batches -------------
     if affected_pairs and log.read(f"{bstage}.cow") is None:

@@ -226,3 +226,57 @@ def test_config_change_rejected(spark, env):
         run_incremental(
             spark, env["in_dir"], env["out"], PipelineConfig(logging_enabled=False)
         )
+
+
+@pytest.fixture(scope="module")
+def kill_env(spark, env, tmp_path_factory):
+    """A fresh 2-batch sequence (A, then the overlap batch C) for the
+    mid-kill resume probes — reusing env's staged batch files."""
+    base = tmp_path_factory.mktemp("inc_kill")
+    in_dir = str(base / "input")
+    os.makedirs(in_dir)
+    _copy_parts(f"{env['stage']}/a", in_dir, "batch_a")
+    return {
+        "in_dir": in_dir,
+        "stage": env["stage"],
+        "out": str(base / "out"),
+        "oneshot": str(base / "oneshot"),
+    }
+
+
+def test_kill_after_staging_resumes(spark, kill_env):
+    assert run_incremental(spark, kill_env["in_dir"], kill_env["out"], CFG)[
+        "batch_id"
+    ] == 0
+    _copy_parts(f"{kill_env['stage']}/c", kill_env["in_dir"], "batch_c")
+    with pytest.raises(RuntimeError, match="injected kill at staged"):
+        run_incremental(spark, kill_env["in_dir"], kill_env["out"], CFG,
+                        fail_at="staged")
+    result = run_incremental(spark, kill_env["in_dir"], kill_env["out"], CFG)
+    assert result["batch_id"] == 1
+    assert result["superseded_convs"] == 2
+    one = _oneshot(spark, kill_env["in_dir"], kill_env["oneshot"])
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, kill_env["out"], kill_env["oneshot"])
+
+
+def test_kill_before_cow_resumes(spark, kill_env, tmp_path_factory):
+    """Kill AFTER the new batch's writes but BEFORE the COW commit: the
+    hub transiently holds the superseded conversations twice; the re-run
+    must converge to the deduplicated final state."""
+    base = tmp_path_factory.mktemp("inc_kill2")
+    in_dir = str(base / "input")
+    os.makedirs(in_dir)
+    _copy_parts(f"{kill_env['stage']}/a", in_dir, "batch_a")
+    out = str(base / "out")
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 0
+    _copy_parts(f"{kill_env['stage']}/c", in_dir, "batch_c")
+    with pytest.raises(RuntimeError, match="injected kill at new_batch"):
+        run_incremental(spark, in_dir, out, CFG, fail_at="new_batch")
+    # the manifest has no batch record yet, so the re-run redoes batch 1
+    result = run_incremental(spark, in_dir, out, CFG)
+    assert result["batch_id"] == 1
+    assert result["superseded_convs"] == 2
+    one = _oneshot(spark, in_dir, str(base / "oneshot"))
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, out, str(base / "oneshot"))
