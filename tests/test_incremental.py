@@ -280,3 +280,40 @@ def test_kill_before_cow_resumes(spark, kill_env, tmp_path_factory):
     one = _oneshot(spark, in_dir, str(base / "oneshot"))
     assert result["counts"] == one["counts"]
     _compare_outputs(spark, out, str(base / "oneshot"))
+
+
+def test_b3_double_supersede_extension_only_batch(spark, env):
+    """Batch D holds ONLY late turns for a conversation already
+    recomputed into batch 2 by the previous overlap — the COW must chase
+    the conversation to its CURRENT batch, and a batch with zero new
+    conversations must still commit cleanly."""
+    hub = spark.read.parquet(f"{env['out']}/classified")
+    tail = (
+        hub.filter(F.col("conv_id") == EXT_FILL_CONV)
+        .agg(F.max("turn_idx").alias("m"))
+        .collect()[0]["m"]
+    )
+    ts = datetime.datetime(2026, 2, 1)
+    ext2 = spark.createDataFrame(
+        [(EXT_FILL_CONV, tail + 1, "user", "second extension line", "lambda", ts)],
+        schema=hub.select("conv_id", "turn_idx", "role", "text", "tool", "ts").schema,
+    )
+    ext2.coalesce(1).write.mode("overwrite").parquet(f"{env['stage']}/d")
+    _copy_parts(f"{env['stage']}/d", env["in_dir"], "batch_d")
+
+    result = run_incremental(spark, env["in_dir"], env["out"], CFG)
+    assert result["batch_id"] == 3
+    assert result["superseded_convs"] == 1
+    one = _oneshot(spark, env["in_dir"], env["oneshot"])
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, env["out"], env["oneshot"])
+
+    hub = spark.read.parquet(f"{env['out']}/classified")
+    where = (
+        hub.filter(F.col("conv_id") == EXT_FILL_CONV)
+        .select("ingest_batch")
+        .distinct()
+        .collect()
+    )
+    # the conversation now lives ONLY in batch 3 (chased out of batch 2)
+    assert [r["ingest_batch"] for r in where] == [3]
