@@ -138,6 +138,25 @@ def _staged_rows(path: str) -> int:
     return sum(e["rows"] for e in ckpt.file_lineage(path))
 
 
+def hub_lookup(spark: SparkSession, out_dir: str, conv_id: str) -> DataFrame:
+    """Point lookup of one conversation across all ingest batches.
+
+    ``conv_bucket = crc32(conv_id) % 32`` is computable from the key
+    alone, so the scan carries a partition filter and touches 1/32 of
+    the table's files regardless of batch count — the read-path payoff
+    of the bucketed layout (at 10^12 turns: one bucket's manifest, not
+    the table's). The residual conv_id equality prunes further via
+    parquet row-group stats (sinks sort within files by conv_id)."""
+    import zlib
+
+    bucket = zlib.crc32(conv_id.encode()) % N_BUCKETS
+    return (
+        spark.read.parquet(os.path.join(out_dir, "classified"))
+        .filter(F.col("conv_bucket") == bucket)
+        .filter(F.col("conv_id") == conv_id)
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     in_dir: str,

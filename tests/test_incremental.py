@@ -317,3 +317,22 @@ def test_b3_double_supersede_extension_only_batch(spark, env):
     )
     # the conversation now lives ONLY in batch 3 (chased out of batch 2)
     assert [r["ingest_batch"] for r in where] == [3]
+
+
+def test_hub_lookup_prunes_partitions(spark, env):
+    from aws_log_ingestion_spark.plans.incremental import hub_lookup
+
+    looked = hub_lookup(spark, env["out"], EXT_FLIP_CONV)
+    full = (
+        spark.read.parquet(f"{env['out']}/classified")
+        .filter(F.col("conv_id") == EXT_FLIP_CONV)
+    )
+    got = sorted(map(tuple, looked.select(*sorted(looked.columns)).collect()))
+    want = sorted(map(tuple, full.select(*sorted(full.columns)).collect()))
+    assert got and got == want
+    # plan-level: the conv_bucket predicate lands in PartitionFilters,
+    # so the scan reads one bucket directory per batch, not the table
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "conv_bucket" in pf.group(1), plan
