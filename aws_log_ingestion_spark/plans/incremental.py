@@ -36,6 +36,11 @@ while doing per-run work proportional to the NEW data:
   ``MERGE INTO``; the parquet fallback expresses the same contract with
   the manifest as the ledger.
 
+Single-writer contract: one incremental run mutates an out_dir at a
+time (the checkpoint manifest is a ledger, not a lock). Iceberg's
+optimistic snapshot commits would arbitrate concurrent writers; the
+parquet fallback deliberately does not pretend to.
+
 Reference semantics note: the Lambda reference is already incremental —
 each invocation is one self-contained entry, and at-least-once delivery
 plus idempotent sinks make redelivery safe
