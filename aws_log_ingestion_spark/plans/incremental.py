@@ -178,8 +178,9 @@ def run_incremental(
 
     ``fail_at`` is a test hook simulating a mid-run kill: 'staged'
     raises right after the COW staging commit, 'new_batch' after the
-    new batch's writes but before the COW commit. A plain re-run must
-    converge to the same final state (tests/test_incremental.py).
+    new batch's writes but before the COW commit, 'cow' after the COW
+    commit but before the batch record. A plain re-run must converge to
+    the same final state (tests/test_incremental.py).
     """
     cfg = cfg or PipelineConfig()
     log = ckpt.CheckpointLog(out_dir)
@@ -230,6 +231,23 @@ def run_incremental(
     # The staged marker freezes the decision: a re-run after a mid-COW
     # kill must not re-derive "affected" from a half-rewritten hub.
     staged = log.read(f"{bstage}.staged")
+    new_file_names = [f["file"] for f in new_files]
+    if staged is not None and staged.get("files") != new_file_names:
+        # input grew between a killed attempt and this re-run: the frozen
+        # overlap decision doesn't cover the newly arrived files. Before
+        # the COW commit nothing is mutated, so restaging is safe; after
+        # it the old batches no longer hold the superseded rows and the
+        # batch must finish with its original file set first.
+        if log.read(f"{bstage}.cow") is not None:
+            raise ValueError(
+                f"input files changed during recovery of batch {batch_id} "
+                "after its copy-on-write commit; re-run without the new "
+                "files present is impossible — finish/inspect this batch "
+                "manually (staged data is under "
+                f"{staged['staging']}), then ingest the extra files as "
+                "the next batch"
+            )
+        staged = None
     if staged is None:
         affected_pairs: list[list[int]] = []
         superseded_convs = 0
@@ -293,6 +311,7 @@ def run_incremental(
                 "affected_pairs": affected_pairs,
                 "superseded_convs": superseded_convs,
                 "staging": staging,
+                "files": new_file_names,
             },
         )
         staged = log.read(f"{bstage}.staged")
@@ -387,6 +406,9 @@ def run_incremental(
                     spark.read.parquet(staged_dir), root, pcols, ["conv_id"]
                 )
         log.record(f"{bstage}.cow", {"affected_pairs": [list(p) for p in affected_pairs]})
+
+    if fail_at == "cow":
+        raise RuntimeError("injected kill at cow")
 
     # --- totals + batch record (LAST: marks the files as ingested) ------
     counts = _counts_from_lineage(out_dir, cfg.logging_enabled)

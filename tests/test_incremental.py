@@ -336,3 +336,80 @@ def test_hub_lookup_prunes_partitions(spark, env):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "conv_bucket" in pf.group(1), plan
+
+
+@pytest.fixture(scope="module")
+def split_c(spark, env):
+    """Batch C split into extensions-only and new-convs-only file sets."""
+    a = spark.read.parquet(f"{env['stage']}/a")
+    ext = _extension_rows(spark, a)
+    ext.coalesce(1).write.mode("overwrite").parquet(f"{env['stage']}/c_ext")
+    t = transcripts_from_events(spark, SF_DIR)
+    t.filter(_grp(F.col("conv_id")) == 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{env['stage']}/c_new")
+    return env["stage"]
+
+
+def _fresh(tmp_path_factory, stage, name):
+    base = tmp_path_factory.mktemp(name)
+    in_dir = str(base / "input")
+    os.makedirs(in_dir)
+    _copy_parts(f"{stage}/a", in_dir, "batch_a")
+    return in_dir, str(base / "out"), str(base / "oneshot")
+
+
+def test_files_arriving_during_recovery_restage(spark, split_c, tmp_path_factory):
+    """Kill at 'staged', then MORE input files arrive before the re-run:
+    the frozen overlap decision no longer covers the batch, so the
+    re-run must restage over the full new-file set (nothing was mutated
+    yet) — otherwise the extra files' overlaps would duplicate rows."""
+    in_dir, out, oneshot = _fresh(tmp_path_factory, split_c, "inc_regrow")
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 0
+    # the kill happens with a NO-overlap file set staged (affected = []);
+    # the files that arrive next DO overlap — replaying the frozen
+    # decision would duplicate c0/c3 across batches 0 and 1
+    _copy_parts(f"{split_c}/c_new", in_dir, "batch_c_new")
+    with pytest.raises(RuntimeError, match="injected kill at staged"):
+        run_incremental(spark, in_dir, out, CFG, fail_at="staged")
+    _copy_parts(f"{split_c}/c_ext", in_dir, "batch_c_ext")
+    result = run_incremental(spark, in_dir, out, CFG)
+    assert result["batch_id"] == 1
+    assert result["superseded_convs"] == 2
+    one = _oneshot(spark, in_dir, oneshot)
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, out, oneshot)
+
+
+def test_files_arriving_after_cow_commit_refused(spark, split_c, tmp_path_factory):
+    """Kill at 'cow' (old batches already rewritten), then more files
+    arrive: the batch can no longer be re-derived, so the run refuses
+    loudly; finishing with the original file set first, then ingesting
+    the extra files as the next batch, converges."""
+    in_dir, out, oneshot = _fresh(tmp_path_factory, split_c, "inc_cowgrow")
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 0
+    _copy_parts(f"{split_c}/c_ext", in_dir, "batch_c_ext")
+    with pytest.raises(RuntimeError, match="injected kill at cow"):
+        run_incremental(spark, in_dir, out, CFG, fail_at="cow")
+    _copy_parts(f"{split_c}/c_new", in_dir, "batch_c_new")
+    with pytest.raises(ValueError, match="during recovery"):
+        run_incremental(spark, in_dir, out, CFG)
+    # finish the killed batch with its original file set…
+    extra = [
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.startswith("batch_c_new")
+    ]
+    held = {}
+    for p in extra:
+        held[p] = p + ".held"
+        os.replace(p, held[p])
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 1
+    # …then the extra files land as the NEXT batch
+    for p, h in held.items():
+        os.replace(h, p)
+    result = run_incremental(spark, in_dir, out, CFG)
+    assert result["batch_id"] == 2
+    one = _oneshot(spark, in_dir, oneshot)
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, out, oneshot)
