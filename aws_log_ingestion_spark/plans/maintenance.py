@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -102,7 +103,25 @@ def compact_parquet_root(
     recovery, which is exactly the window a real table format closes.
 
     Returns {"rewritten": [...], "skipped": n_leaves_ok, "rows": total}.
+
+    Refuses Hive-bucketed table directories (``bucketize_transcripts``
+    output): bucket ids live in the FILE NAMES (``part-...-uuid_00007``),
+    so renaming files breaks the bucket map — Spark then fails every
+    read with INVALID_BUCKET_FILE (probed on this Spark). Compacting a
+    bucketed table IS re-running bucketize.
     """
+    bucketed = [
+        f"{rel}/{p['file']}"
+        for rel, parts in leaf_dirs(root).items()
+        for p in parts
+        if re.search(r"_\d{5}\.c\d{3}\.", p["file"])
+    ]
+    if bucketed:
+        raise ValueError(
+            "refusing to compact a Hive-bucketed table directory "
+            f"(bucket ids live in file names, e.g. {bucketed[0]}); "
+            "re-run bucketize_transcripts to compact it"
+        )
     jobs = plan_compaction(root, target_bytes)
     n_leaves = len(leaf_dirs(root))
     staging_base = root.rstrip("/") + "._compaction"

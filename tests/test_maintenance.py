@@ -110,3 +110,21 @@ def test_bucketize_zero_exchange_plan(spark, tmp_path_factory):
     )
     assert "Exchange hashpartitioning" in plan_rand, plan_rand
     spark.sql("DROP TABLE IF EXISTS test_transcripts_bucketed")
+
+
+def test_compact_refuses_bucketed_table_dir(spark, tmp_path_factory):
+    """Bucket ids live in the file names; compaction would brick the
+    table (Spark raises INVALID_BUCKET_FILE on read — probed). Refuse."""
+    base = tmp_path_factory.mktemp("bucket_guard")
+    t = transcripts_from_events(spark, SF_DIR)
+    t.repartition(4).write.parquet(str(base / "random"))
+    bucketize_transcripts(
+        spark,
+        str(base / "random"),
+        str(base / "bucketed"),
+        table_name="test_bucket_guard",
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="Hive-bucketed"):
+        compact_parquet_root(spark, str(base / "bucketed"), target_bytes=1 << 30)
+    spark.sql("DROP TABLE IF EXISTS test_bucket_guard")
