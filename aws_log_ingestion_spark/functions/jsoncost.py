@@ -58,21 +58,25 @@ _CLASSES: list[tuple[str, str, int, int]] = [
 
 # Fused per-depth scan plans for esc_extra: same classes/weights as
 # _CLASSES, but (a) classes sharing a weight at that depth merge into one
-# character-class regex (one scan instead of two), and (b) the >=U+0080
-# classes are evaluated ONLY when octet_length != length (UTF-8 length
-# mismatch == a non-ASCII char exists; CASE WHEN short-circuits in
-# whole-stage codegen, so pure-ASCII rows — virtually all log lines —
-# never pay those scans). 5 regex passes -> 2 (depth 1) / 3 (depth 2),
-# bit-identical totals (pinned vs the Python json.dumps in
-# tests/test_jsoncost.py).
-_QB_NAMED = '["\\\\\\x08\\x09\\x0A\\x0C\\x0D]'
-_ASCII_PLANS: dict[int, list[tuple[str, int]]] = {
-    1: [(_QB_NAMED, 1), ("[\\x00-\\x07\\x0B\\x0E-\\x1F]", 5)],
-    2: [
-        ('["\\\\]', 3),
-        ("[\\x08\\x09\\x0A\\x0C\\x0D]", 2),
-        ("[\\x00-\\x07\\x0B\\x0E-\\x1F]", 6),
-    ],
+# set (one scan instead of two), (b) the ASCII classes are ENUMERABLE
+# character sets, so their per-row counts are computed with
+# length(s) - length(translate(s, set, '')) — a single code-point-map
+# pass in whole-stage codegen, several times cheaper than a regex
+# matcher over the same bytes (guide §1.2 "per-task work"; measured in
+# OPTIMIZATION_r07.md) — and (c) the >=U+0080 classes (not translate-
+# enumerable) stay regexp_count but are evaluated ONLY when
+# octet_length != length (UTF-8 length mismatch == a non-ASCII char
+# exists; CASE WHEN short-circuits in codegen, so pure-ASCII rows —
+# virtually all log lines — never pay those scans). Bit-identical totals
+# (pinned vs the Python json.dumps in tests/test_jsoncost.py).
+_QB_CHARS = '"\\'
+_NAMED_CHARS = "\x08\x09\x0a\x0c\x0d"
+_CTL_CHARS = "".join(
+    chr(c) for c in [*range(0x00, 0x08), 0x0B, *range(0x0E, 0x20)]
+)
+_ASCII_SETS: dict[int, list[tuple[str, int]]] = {
+    1: [(_QB_CHARS + _NAMED_CHARS, 1), (_CTL_CHARS, 5)],
+    2: [(_QB_CHARS, 3), (_NAMED_CHARS, 2), (_CTL_CHARS, 6)],
 }
 _WIDE_PLANS: dict[int, list[tuple[str, int]]] = {
     1: [("[\\x{80}-\\x{FFFF}]", 5), ("[\\x{10000}-\\x{10FFFF}]", 11)],
@@ -85,8 +89,9 @@ def esc_extra(col: Column, depth: int = 1) -> Column:
     null input costs 0 — an absent optional field)."""
     s = F.coalesce(col, F.lit(""))
     total = F.lit(0).cast("long")
-    for pat, w in _ASCII_PLANS[depth]:
-        total = total + F.regexp_count(s, F.lit(pat)).cast("long") * F.lit(w)
+    for chars, w in _ASCII_SETS[depth]:
+        n = (F.length(s) - F.length(F.translate(s, chars, ""))).cast("long")
+        total = total + n * F.lit(w)
     wide = F.lit(0).cast("long")
     for pat, w in _WIDE_PLANS[depth]:
         wide = wide + F.regexp_count(s, F.lit(pat)).cast("long") * F.lit(w)

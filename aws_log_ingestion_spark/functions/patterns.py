@@ -36,23 +36,36 @@ REQUEST_ID = (
 
 
 def is_report(text: Column) -> Column:
-    """REPORT_PATTERN.match (/root/reference/src/function.py:91,199)."""
-    return text.rlike(REPORT)
+    """REPORT_PATTERN.match (/root/reference/src/function.py:91,199).
+
+    The pattern is a ^-anchored literal (no metachars, no MULTILINE), so
+    ``startswith`` computes the identical boolean without the regex
+    engine — a plain prefix memcmp in codegen (guide §1.2 "per-task
+    work": the parse flags run once per row at 10^12 rows)."""
+    return text.startswith("REPORT RequestId:")
 
 
 def is_nr_marker(text: Column) -> Column:
-    """LAMBDA_NR_MONITORING_PATTERN.match (:90,402,522)."""
-    return text.rlike(NR_MONITORING)
+    """LAMBDA_NR_MONITORING_PATTERN.match (:90,402,522).
+
+    Guarded: the regex can only match when the literal marker substring
+    is present, so a cheap ``contains`` (SIMD-friendly substring search)
+    short-circuits the regex scan for the overwhelming non-marker
+    majority. ``contains`` is implied by the pattern — identical result.
+    """
+    return text.contains('"NR_LAMBDA_MONITORING') & text.rlike(NR_MONITORING)
 
 
 def is_timeout(text: Column) -> Column:
-    """TIMEOUT_PATTERN.match (:92-94,403)."""
-    return text.rlike(TIMEOUT)
+    """TIMEOUT_PATTERN.match (:92-94,403). Guarded by the pattern's own
+    required literal (same result, regex runs only on candidates)."""
+    return text.contains("Task timed out after ") & text.rlike(TIMEOUT)
 
 
 def is_runtime_kill(text: Column) -> Column:
-    """REQUEST_ID_PATTERN.match — DOTALL, anchored (:97,404)."""
-    return text.rlike(RUNTIME_KILL)
+    """REQUEST_ID_PATTERN.match — DOTALL, anchored (:97,404). Guarded by
+    the anchored literal prefix (implied by the pattern)."""
+    return text.startswith("RequestId:") & text.rlike(RUNTIME_KILL)
 
 
 def is_lambda_message(text: Column) -> Column:
@@ -74,8 +87,14 @@ def extract_request_id(text: Column) -> Column:
 
     ``regexp_extract`` is already search (unanchored); returns NULL when
     absent (reference: no match -> attribute not set) via nullif('').
+    Guarded on the pattern's required literal: rows without
+    'RequestId:' yield NULL through the when() exactly as the
+    empty-extract -> nullif path did, without running the regex.
     """
-    return F.nullif(F.regexp_extract(text, REQUEST_ID, 1), F.lit(""))
+    return F.when(
+        text.contains("RequestId:"),
+        F.nullif(F.regexp_extract(text, REQUEST_ID, 1), F.lit("")),
+    )
 
 
 def format_agent_logs(text: Column) -> Column:

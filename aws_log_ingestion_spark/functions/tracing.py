@@ -86,8 +86,15 @@ def trace_id_raw(text: Column, is_nr_marker: Column) -> Column:
     output: ``when(cond, udf(x))`` still ships every row through Arrow
     and runs the decode on it, while ``udf(when(cond, x))`` ships NULLs
     that short-circuit — the gzip+json work only touches marker rows.
+
+    The decode goes through the per-batch MEMOIZED UDF: the decode is a
+    pure function of the marker text, so identical blobs in one Arrow
+    batch (ubiquitous in agent logs — the same monitoring payload
+    repeats) gzip-decode once; unique blobs pay one dict probe (~100 ns)
+    next to a ~10 us gzip+json decode. Values are identical to the
+    unmemoized UDF by determinism (guide §4.5: amortize per-task work).
     """
-    return F.when(is_nr_marker, decode_trace_id(F.when(is_nr_marker, text)))
+    return F.when(is_nr_marker, decode_trace_id_memo(F.when(is_nr_marker, text)))
 
 
 _decode_memo_udf = None

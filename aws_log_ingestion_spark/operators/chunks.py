@@ -140,7 +140,21 @@ def chunk_replay(df: DataFrame, path: str, cfg: PipelineConfig | None = None) ->
     slim = df.select(*cols).withColumn(
         "ts_millis", F.unix_millis(F.col("ts").cast("timestamp"))
     ).drop("ts")
-    return slim.groupBy("conv_id").applyInPandas(
+    # Explicit conv_id repartition at the session's shuffle-partition
+    # count: the replay shuffles FEW BYTES but burns heavy Python CPU
+    # (json+gzip per conversation), exactly the shape AQE's byte-based
+    # coalescing mis-sizes — measured here: the 5% replay collapsed to a
+    # handful of post-shuffle partitions and ran 17 CPU-s in 4.5-6 s of
+    # wall on 32 cores. A user-specified partition count is exempt from
+    # AQE coalescing, and the grouped applyInPandas reuses the hash
+    # clustering (no second exchange). Scale-adaptive: the count comes
+    # from spark.sql.shuffle.partitions (sized per deployment), not a
+    # constant (guide §2.5/§2.2).
+    try:
+        n_parts = int(slim.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = slim.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(n_parts, "conv_id").groupBy("conv_id").applyInPandas(
         _group_stats_factory(path, cfg), CHUNK_STATS_SCHEMA
     )
 
@@ -302,11 +316,25 @@ def _envelope(first, path: str, cfg: PipelineConfig):
     return payload, C.split_logging
 
 
-def _with_pos_and_state(df: DataFrame, path: str, cfg: PipelineConfig) -> DataFrame:
+def _with_pos_and_state(
+    df: DataFrame, path: str, cfg: PipelineConfig, with_pos: bool = True
+) -> DataFrame:
     """Stage 0 (pure Catalyst): 0-based event position per conversation,
     epoch millis, and — for the logging path — the per-event carried
     trace id / request id (same window fills the MELT projection uses),
-    so interval replay is STATELESS per event."""
+    so interval replay is STATELESS per event.
+
+    ``with_pos=False`` (the aggregate-only count/census/raw-cost paths)
+    skips BOTH conversation windows here — the row_number position and
+    the envelope-meta pinning — so when the fills are already hub
+    columns the whole staged frame is a narrow scan-side projection with
+    no exchange and no sort (guide §2.4: remove shuffles outright; the
+    per-conv aggregation that follows does its own map-side combine).
+    Consumers of the no-pos shape must (a) order groups by ``turn_idx``
+    instead of ``pos`` and (b) read conversation-level envelope values
+    via ``min_by(col, turn_idx)`` — exactly the turn_idx-min row the
+    pinned windows used, so results are identical even when meta varies
+    mid-conversation."""
     from ..functions import patterns as P
     from ..functions.tracing import trace_id_raw
     from .classify import with_log_group
@@ -318,20 +346,20 @@ def _with_pos_and_state(df: DataFrame, path: str, cfg: PipelineConfig) -> DataFr
         .orderBy("turn_idx")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    df = df.withColumn(
-        "ts_millis", F.unix_millis(F.col("ts").cast("timestamp"))
-    ).withColumn(
-        "pos",
-        (F.row_number().over(W.partitionBy("conv_id").orderBy("turn_idx")) - 1).cast("long"),
-    )
-    # Pin envelope meta to the conversation's turn_idx-min row — the SAME
-    # row the unsalted grouped replay reads (pdf.iloc[0] after sort). The
-    # cost pass, the rid predicate and every interval's replay then agree
-    # on one envelope even if meta varied mid-conversation, preserving the
-    # salted==unsalted bit-exactness guarantee unconditionally.
-    for m in _META:
-        if m in df.columns:
-            df = df.withColumn(m, F.first(F.col(m)).over(run))
+    df = df.withColumn("ts_millis", F.unix_millis(F.col("ts").cast("timestamp")))
+    if with_pos:
+        df = df.withColumn(
+            "pos",
+            (F.row_number().over(W.partitionBy("conv_id").orderBy("turn_idx")) - 1).cast("long"),
+        )
+        # Pin envelope meta to the conversation's turn_idx-min row — the SAME
+        # row the unsalted grouped replay reads (pdf.iloc[0] after sort). The
+        # cost pass, the rid predicate and every interval's replay then agree
+        # on one envelope even if meta varied mid-conversation, preserving the
+        # salted==unsalted bit-exactness guarantee unconditionally.
+        for m in _META:
+            if m in df.columns:
+                df = df.withColumn(m, F.first(F.col(m)).over(run))
     if path == "logging":
         if "trace_id" in df.columns and "lambda_request_id" in df.columns:
             # The hub already materialised the MELT fills (plans/job.py
@@ -560,14 +588,19 @@ def _mcol(df: DataFrame, name: str):
     return F.col(name) if name in df.columns else F.lit("")
 
 
-def _staged_with_costs(df: DataFrame, path: str, cfg: PipelineConfig):
-    """Stage 0/1 of the arithmetic chunk paths: pos + carried fills +
-    pinned meta (``_with_pos_and_state``), then the EXACT per-event JSON
-    byte cost and per-conversation empty-envelope length as pure Catalyst
-    columns (functions/jsoncost.py) — no Python anywhere."""
+def _staged_with_costs(
+    df: DataFrame, path: str, cfg: PipelineConfig, with_pos: bool = True
+):
+    """Stage 0/1 of the arithmetic chunk paths: carried fills (+ pos and
+    pinned meta when ``with_pos``, see ``_with_pos_and_state``), then the
+    EXACT per-event JSON byte cost and per-conversation empty-envelope
+    length as pure Catalyst columns (functions/jsoncost.py) — no Python
+    anywhere."""
     from ..functions import jsoncost as jc
 
-    staged = _with_pos_and_state(df.select(*_select_cols(df, path)), path, cfg).drop("ts")
+    staged = _with_pos_and_state(
+        df.select(*_select_cols(df, path)), path, cfg, with_pos=with_pos
+    ).drop("ts")
     if path == "infra":
         cost = jc.event_cost_infra_expr(
             F.col("text"), F.col("turn_idx"), F.col("ts_millis")
@@ -590,6 +623,52 @@ def _staged_with_costs(df: DataFrame, path: str, cfg: PipelineConfig):
     return staged.withColumn("__cost", cost).withColumn("__empty", empty)
 
 
+def _per_conv_raw(staged: DataFrame) -> DataFrame:
+    """Per-conversation raw totals over a ``_staged_with_costs`` frame —
+    map-side-combining aggregation, no window and NO SORT: costs are
+    order-independent sums and the conversation-level envelope length is
+    read from the turn_idx-min row via ``min_by`` — equal to the old
+    pinned-window ``first()`` exactly (that window pinned the same
+    turn_idx-min row).
+
+    The aggregation buffers are deliberately ALL-LONG: a string-valued
+    min_by/first (e.g. the obvious ``min_by(sink, turn_idx)``) is not a
+    mutable aggregation-buffer type, which silently demotes the whole
+    aggregate to SortAggregate — re-introducing a full sort of the fact
+    rows, the exact thing this shape removes (observed in the r7 plan
+    diff). ``sink`` is therefore recovered through a keys-only aggregate
+    (grouping KEYS may be strings; only buffer values are restricted)
+    joined back on the turn_idx-min row — exactly one match per
+    conversation, so the result is the turn_idx-min row's sink,
+    bit-identical to the pinned-window shape even if sink varied
+    mid-conversation."""
+    core = (
+        staged.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__cost").alias("__cost_sum"),
+            F.min_by("__empty", F.col("turn_idx")).alias("__empty"),
+            F.min("turn_idx").alias("__min_t"),
+        )
+        .withColumn(
+            "raw_bytes",
+            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
+        )
+    )
+    firsts = staged.groupBy("conv_id", "sink").agg(
+        F.min("turn_idx").alias("__t")
+    )
+    return (
+        core.join(
+            firsts,
+            (core["conv_id"] == firsts["conv_id"])
+            & (F.col("__t") == F.col("__min_t")),
+        )
+        .drop(firsts["conv_id"])
+        .drop("__t", "__min_t")
+    )
+
+
 def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None) -> DataFrame:
     """Per-conversation EXACT raw payload size — zero Python, one shuffle.
 
@@ -603,22 +682,10 @@ def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None)
     backbone the fast count path and capacity planning share.
     """
     cfg = cfg or PipelineConfig()
-    staged = _staged_with_costs(df, path, cfg)
+    staged = _staged_with_costs(df, path, cfg, with_pos=False)
     from ..functions import jsoncost as jc
 
-    per_conv = (
-        staged.groupBy("conv_id")
-        .agg(
-            F.first("sink").alias("sink"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("__cost").alias("__cost_sum"),
-            F.first("__empty").alias("__empty"),
-        )
-        .withColumn(
-            "raw_bytes",
-            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
-        )
-    )
+    per_conv = _per_conv_raw(staged)
     return per_conv.select(
         "conv_id",
         "sink",
@@ -666,20 +733,8 @@ def chunk_census(
     caps = caps or [("default", cfg.max_payload_size)]
     from ..functions import jsoncost as jc
 
-    staged = _staged_with_costs(df, path, cfg)
-    per_conv = (
-        staged.groupBy("conv_id")
-        .agg(
-            F.first("sink").alias("sink"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("__cost").alias("__cost_sum"),
-            F.first("__empty").alias("__empty"),
-        )
-        .withColumn(
-            "raw_bytes",
-            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
-        )
-    )
+    staged = _staged_with_costs(df, path, cfg, with_pos=False)
+    per_conv = _per_conv_raw(staged)
     legs = []
     for cap_name, cap in caps:
         fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), cap).cast("long")
@@ -742,20 +797,8 @@ def chunk_counts_fast(
     max_size = cfg.max_payload_size
     from ..functions import jsoncost as jc
 
-    staged = _staged_with_costs(df, path, cfg)
-    per_conv = (
-        staged.groupBy("conv_id")
-        .agg(
-            F.first("sink").alias("sink"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("__cost").alias("__cost_sum"),
-            F.first("__empty").alias("__empty"),
-        )
-        .withColumn(
-            "raw_bytes",
-            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
-        )
-    )
+    staged = _staged_with_costs(df, path, cfg, with_pos=False)
+    per_conv = _per_conv_raw(staged)
     fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), max_size)
     singles = per_conv.filter(fits).select(
         "conv_id",
@@ -777,7 +820,11 @@ def chunk_counts_fast(
 
         import pandas as pd
 
-        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        # turn order, not pos: the no-window staged frame (with_pos=False)
+        # carries no pos column; turn_idx gives the identical ordering and
+        # iloc[0] is then exactly the turn_idx-min row the pinned-window
+        # shape read its envelope meta / __empty from
+        pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
         first = pdf.iloc[0]
         costs = [int(c) for c in pdf["__cost"]]
         empty = int(pdf["__empty"].iloc[0])
@@ -848,7 +895,16 @@ def chunk_counts_fast(
             ]
         )
 
-    big_stats = big.groupBy("conv_id").applyInPandas(walk, FAST_STATS_SCHEMA)
+    # same AQE-mis-sizing guard as chunk_replay: the ambiguous-band walk
+    # is Python-CPU-heavy per conversation, so pin its parallelism to the
+    # session's shuffle-partition count rather than its (tiny) byte size
+    try:
+        n_parts = int(big.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = big.sparkSession.sparkContext.defaultParallelism
+    big_stats = big.repartition(n_parts, "conv_id").groupBy("conv_id").applyInPandas(
+        walk, FAST_STATS_SCHEMA
+    )
     return singles.unionByName(big_stats)
 
 

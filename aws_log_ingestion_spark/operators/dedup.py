@@ -83,6 +83,44 @@ def _sig_array(ss: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
     return ss.withColumn("sig", sig)
 
 
+def _sig_cols(ss: DataFrame, num_hashes: int, hash_fn: str) -> DataFrame:
+    """(doc_id, n_sh, s0..s<n-1>): the SAME MinHash signature values as
+    ``_sig_array``, computed as explode + ONE map-side-combining hash
+    aggregate with ``num_hashes`` min() buffers instead of per-row nested
+    higher-order lambdas.
+
+    Why: Spark evaluates lambda functions (transform/array_min-over-
+    transform) INTERPRETED per element — ~num_hashes x n_shingles
+    interpreted expression evals per document, which measured as the
+    dominant cost of the whole LSH pipeline (OPTIMIZATION_r07.md; guide
+    §1.2 "per-task work"). The exploded form runs every hash inside
+    whole-stage-codegen HashAggregate update loops (same codegen shape as
+    ``simhash``'s 64 conditional sums, which compiles fine). The price is
+    one narrow shuffle of (doc_id, 64 longs) per doc — partial
+    aggregation combines map-side, so shuffle volume is docs, not
+    shingles.
+
+    Value-compatibility: slot i = min over shingles of
+    xxhash64(xxhash64(shingle), i) (resp. md5_long('i:' || shingle)) —
+    bit-identical to ``_sig_array`` (pinned by the signature-equality
+    test), so buckets, candidates and verified pairs are unchanged."""
+    ex = ss.select(
+        "doc_id", F.size("sh_set").alias("n_sh"), F.explode("sh_set").alias("__s")
+    )
+    if hash_fn == "md5":
+        aggs = [
+            F.min(md5_long(F.concat(F.lit(f"{i}:"), F.col("__s")))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        ex = ex.withColumn("__h", F.xxhash64(F.col("__s")))
+        aggs = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    return ex.groupBy("doc_id").agg(F.min("n_sh").alias("n_sh"), *aggs)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Per-doc duplicate verdict: keeper = min doc_id per normalized text.
 
@@ -203,13 +241,10 @@ def minhash_signatures(
     xxhash64 (production) or md5 (cross-engine-exact, see md5_long).
     """
     ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1)
-    ss = _sig_array(ss, num_hashes, hash_fn)
-    return ss.select(
+    sig = _sig_cols(ss, num_hashes, hash_fn)
+    return sig.select(
         "doc_id",
-        *[
-            F.element_at(F.col("sig"), i + 1).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        *[F.col(f"s{i}").alias(f"h{i}") for i in range(num_hashes)],
     )
 
 
@@ -241,16 +276,17 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1).cache()
-    sig = _sig_array(ss, num_hashes, hash_fn)
+    sig = _sig_cols(ss, num_hashes, hash_fn)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
     # over signatures instead of `bands` unioned scans). Band keys read
-    # the signature ARRAY by index. The md5 variant keys buckets on the
-    # concatenated slot string (engine-portable; concat_ws casts the
-    # long slots to strings exactly like the old long columns did);
-    # xxhash64 re-hashes to a compact 64-bit key.
+    # the signature COLUMNS (codegen aggregate output, see _sig_cols).
+    # The md5 variant keys buckets on the concatenated slot string
+    # (engine-portable; concat_ws casts the long slots to strings exactly
+    # like the old long columns did); xxhash64 re-hashes to a compact
+    # 64-bit key.
     def slot(k):
-        return F.element_at(F.col("sig"), k + 1)
+        return F.col(f"s{k}")
 
     if hash_fn == "md5":
         band_arr = F.array(
@@ -268,7 +304,7 @@ def minhash_lsh_pairs(
         )
     buckets = sig.select(
         "doc_id",
-        F.size("sh_set").alias("n_sh"),
+        "n_sh",
         F.posexplode(band_arr).alias("band", "band_hash"),
     )
     x = buckets.alias("x")

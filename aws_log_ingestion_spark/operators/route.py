@@ -29,6 +29,19 @@ INFRA_SINKS = (SINK_LAMBDA, SINK_VPC, SINK_OTHER)
 INFRA_SERVICE_PATHS = {SINK_LAMBDA: "/aws/lambda", SINK_VPC: "/aws/vpc", SINK_OTHER: "/aws"}
 
 
+def _survives_col(classified: DataFrame) -> F.Column:
+    """The lambda-sink survival predicate, reusing the parse-flag columns
+    when the classifier already materialised them (is_report |
+    is_lambda_msg IS the predicate — ``with_parse_flags`` computed it
+    from the same text), so the router/counter never re-runs the three
+    regexes over 10^12 rows (guide §2.3: don't recompute what a prior
+    stage already shuffled/stored). Falls back to the text regexes for
+    frames without the flags."""
+    if "is_report" in classified.columns and "is_lambda_msg" in classified.columns:
+        return F.col("is_report") | F.col("is_lambda_msg")
+    return P.survives_lambda_filter(F.col("text"))
+
+
 def infra_url(sink: str, cfg: PipelineConfig | None = None) -> str:
     """Full ingest URL for one infra sink: region endpoint + EntryType
     path + version (reference _get_infra_url
@@ -50,7 +63,7 @@ def infra_rows(classified: DataFrame, sink: str, cfg: PipelineConfig | None = No
     cfg = cfg or PipelineConfig()
     df = classified.filter(F.col("sink") == sink)
     if sink == SINK_LAMBDA:
-        df = df.filter(P.survives_lambda_filter(F.col("text")))
+        df = df.filter(_survives_col(classified))
         if cfg.format_logs:
             df = df.withColumn("text", P.format_agent_logs(F.col("text")))
     return df
@@ -84,9 +97,10 @@ def infra_union(classified: DataFrame, cfg: PipelineConfig | None = None) -> Dat
     # logging sink); the infra payload is the raw filtered entry and
     # never attaches them (/root/reference/src/function.py:255-261) —
     # drop to keep the infra schema (and write bytes) unchanged.
+    survives = _survives_col(classified)
     classified = classified.drop("trace_id", "lambda_request_id")
     is_lambda = F.col("sink") == SINK_LAMBDA
-    keep = ~is_lambda | P.survives_lambda_filter(F.col("text"))
+    keep = ~is_lambda | survives
     df = classified.filter(keep)
     if cfg.format_logs:
         df = df.withColumn(
@@ -104,7 +118,7 @@ def route_counts(classified: DataFrame, cfg: PipelineConfig | None = None) -> Da
     logging counts every row (the unfiltered tee, reference :270).
     """
     cfg = cfg or PipelineConfig()
-    survives = P.survives_lambda_filter(F.col("text"))
+    survives = _survives_col(classified)
     agg = classified.agg(
         F.sum(((F.col("sink") == SINK_LAMBDA) & survives).cast("long")).alias("infra_lambda_rows"),
         F.sum((F.col("sink") == SINK_VPC).cast("long")).alias("infra_vpc_rows"),

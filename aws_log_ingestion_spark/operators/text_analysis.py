@@ -17,6 +17,29 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 
+_ALNUM_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+)
+_JAVA_WS_CHARS = " \t\n\x0b\f\r"  # Java regex \s, exactly
+
+
+def _count_punct(text: Column) -> Column:
+    """Count of chars matching [^A-Za-z0-9\\s] — the quality signal's
+    punctuation count — WITHOUT the regex engine. regexp_count pays
+    ~10-20 us per MATCH (it expands to size(regexp_extract_all): a
+    string alloc per match), which measured as the single dominant cost
+    of the whole curate pass at ~200 punct chars/doc
+    (OPTIMIZATION_r07.md). The complement identity
+    n_punct = n_chars - n_alnum - n_ws with each positive class counted
+    by length(s) - length(translate(s, class_chars, '')) is exact over
+    code points (both the regex char class and translate operate on one
+    code point at a time; non-ASCII chars stay in both translations and
+    are counted as punctuation, exactly like [^A-Za-z0-9\\s])."""
+    n = F.length(text)
+    n_alnum = n - F.length(F.translate(text, _ALNUM_CHARS, ""))
+    n_ws = n - F.length(F.translate(text, _JAVA_WS_CHARS, ""))
+    return n - n_alnum - n_ws
+
 # language marker words for the n-gram/keyword heuristic
 LANG_MARKERS = {
     "en": ["the", "and", "of"],
@@ -68,15 +91,32 @@ def _count_word(words: Column, w: str) -> Column:
     return F.size(F.filter(words, lambda x: x == F.lit(w)))
 
 
+def _count_tokens_in(text: Column, ws: tuple[str, ...]) -> Column:
+    """Occurrences among the normalized whitespace tokens of ``text`` of
+    ANY word in ``ws`` — equal to sum(_count_word(words, w) for w in ws)
+    when the words are distinct, but computed as ONE codegen regex pass
+    instead of len(ws) interpreted higher-order array filters (lambda
+    expressions are evaluated interpreted per element in Spark — the
+    measured bulk of curate/lang-id CPU, OPTIMIZATION_r07.md). The
+    normalized text is single-space separated and padded, so zero-width
+    lookarounds match exactly the whole-token occurrences; separator
+    spaces are not consumed, so consecutive tokens all match. Java-regex
+    lookbehind is Spark-side only — the frozen DuckDB oracle SQL keeps
+    its per-word arithmetic, values identical."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "), F.lit(" ")
+    )
+    pat = "(?<= )(" + "|".join(ws) + ")(?= )"
+    return F.regexp_count(norm, F.lit(pat))
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per document."""
     words = _norm_words(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(words).alias("n_ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)).alias(
-            "n_bpe_tokens"
-        ),
+        F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE)).alias("n_bpe_tokens"),
         F.octet_length(F.col("text")).alias("n_bytes"),
     )
 
@@ -91,8 +131,12 @@ def quality_col(text: Column, words: Column | None = None) -> Column:
         words = _norm_words(text)
     n_words = F.size(words)
     n_chars = F.length(text)
-    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
-    n_stop = sum((_count_word(words, w) for w in STOPWORDS), F.lit(0))
+    # translate-based punct count (see _count_punct — the old
+    # size(regexp_extract_all) formulation was curate's dominant cost);
+    # one-pass token regex replaces 7 interpreted array filters
+    # (see _count_tokens_in)
+    n_punct = _count_punct(text)
+    n_stop = _count_tokens_in(text, tuple(STOPWORDS))
     score = (
         F.lit(100)
         - F.when(n_words < 5, 40).otherwise(0)
@@ -113,8 +157,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
     words = _norm_words(F.col("text"))
     n_words = F.size(words)
     n_chars = F.length(F.col("text"))
-    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0))
-    n_stop = sum((_count_word(words, w) for w in STOPWORDS), F.lit(0))
+    n_punct = _count_punct(F.col("text"))
+    n_stop = _count_tokens_in(F.col("text"), tuple(STOPWORDS))
     # floor, not cast: DuckDB casts double->int by rounding while Spark
     # truncates — floor is the portable choice for the SQL oracle
     mean_word_len_x100 = F.when(
@@ -145,11 +189,10 @@ SCRIPT_CLASSES = [
 
 
 def _lang_counts(text: Column) -> dict[str, Column]:
-    words = _norm_words(text)
     tri = trigram_scores(text)
     return {
         lang: (
-            sum((_count_word(words, w) for w in markers), F.lit(0)) * 100 + tri[lang]
+            _count_tokens_in(text, tuple(markers)) * 100 + tri[lang]
         ).cast("int")
         for lang, markers in LANG_MARKERS.items()
     }
@@ -184,8 +227,9 @@ def pred_from_counts(text: Column, counts: dict[str, Column]) -> Column:
         .otherwise("es")
     )
     for lang, cls in reversed(SCRIPT_CLASSES):
-        n_hits = F.size(F.regexp_extract_all(text, F.lit(cls), 0))
-        pred = F.when(n_hits > 0, lang).otherwise(pred)
+        # existence, not count: rlike stops at the first hit instead of
+        # materializing every match (same boolean, incl. NULL-in-NULL-out)
+        pred = F.when(text.rlike(cls), lang).otherwise(pred)
     return pred
 
 
@@ -424,11 +468,7 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     red = F.col("text")
     counts = []
     for name, pat, token in PII_PATTERNS:
-        counts.append(
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
-                f"n_{name}"
-            )
-        )
+        counts.append(F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, token)
     return docs.select("doc_id", *counts, red.alias("redacted"))
 

@@ -53,6 +53,7 @@ ledger.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import shutil
 
@@ -102,8 +103,14 @@ def _bucket_col():
 
 
 def _cfg_fingerprint(cfg: PipelineConfig) -> dict:
-    return {k: (sorted(v.items()) if isinstance(v, dict) else v)
-            for k, v in dataclasses.asdict(cfg).items()}
+    # JSON round-trip so the fresh fingerprint is type-identical to one
+    # read back from a stored batch record (ADVICE r6: sorted(v.items())
+    # yields TUPLES, which JSON round-trips to lists — with any non-empty
+    # dict field, e.g. tags, the equality check would spuriously fail on
+    # every second run)
+    fp = {k: (sorted(v.items()) if isinstance(v, dict) else v)
+          for k, v in dataclasses.asdict(cfg).items()}
+    return json.loads(json.dumps(fp))
 
 
 def _counts_from_lineage(out_dir: str, logging_enabled: bool) -> dict[str, int]:
@@ -204,6 +211,17 @@ def run_incremental(
         raise ValueError(
             f"input files are append-only; changed in place: {changed}"
         )
+    # ADVICE r6 (low): a recorded file DELETED (or renamed) from in_dir
+    # also breaks the append-only invariant — outputs would keep rows for
+    # inputs that no longer exist, diverging from "outputs equal
+    # run_pipeline over the full current input".
+    current_names = {f["file"] for f in current}
+    missing = sorted(k for k in known if k not in current_names)
+    if missing:
+        raise ValueError(
+            f"input files are append-only; recorded files missing from "
+            f"{in_dir}: {missing}"
+        )
     new_files = [f for f in current if f["file"] not in known]
     if not new_files:
         return {
@@ -235,9 +253,12 @@ def run_incremental(
     if staged is not None and staged.get("files") != new_file_names:
         # input grew between a killed attempt and this re-run: the frozen
         # overlap decision doesn't cover the newly arrived files. Before
-        # the COW commit nothing is mutated, so restaging is safe; after
-        # it the old batches no longer hold the superseded rows and the
-        # batch must finish with its original file set first.
+        # the COW commit the OLD batches are unmutated, so restaging is
+        # safe as long as the re-derivation ignores any half-written
+        # ingest_batch == batch_id partitions from the killed attempt
+        # (the filter below); after the COW commit the old batches no
+        # longer hold the superseded rows and the batch must finish with
+        # its original file set first.
         if log.read(f"{bstage}.cow") is not None:
             raise ValueError(
                 f"input files changed during recovery of batch {batch_id} "
@@ -259,7 +280,19 @@ def run_incremental(
                 r["b"]
                 for r in new_convs.select(_bucket_col().alias("b")).distinct().collect()
             ]
-            hub = spark.read.parquet(hub_root)
+            # ADVICE r6 (high): exclude THIS batch's partitions from the
+            # overlap derivation. A kill in the new_batch window leaves
+            # ingest_batch == batch_id hub/sink partitions on disk with no
+            # .cow record; a restage (input grew during recovery) that
+            # read them would (a) duplicate new_turns into superseded_raw
+            # and (b) put (batch_id, bucket) into affected_pairs, whose
+            # COW commit then rmtree's the freshly rewritten batch's own
+            # partitions with empty retained rows — silently dropping
+            # conversations. On a first attempt nothing of batch_id
+            # exists yet, so the filter is a no-op there.
+            hub = spark.read.parquet(hub_root).filter(
+                F.col("ingest_batch") != batch_id
+            )
             candidates = hub.filter(F.col("conv_bucket").isin(new_buckets))
             affected_pairs = sorted(
                 [int(r["ingest_batch"]), int(r["conv_bucket"])]

@@ -30,6 +30,7 @@ jobs exist purely because the Spark re-expression owns its tables.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -41,6 +42,31 @@ from ..operators import checkpoint as ckpt
 
 DEFAULT_TARGET_BYTES = 128 << 20  # the usual parquet sweet spot at scale
 ORDER_COLS = ("conv_id", "turn_idx")
+SWAP_MARKER = "._swap.json"
+
+
+def swap_markers(root: str) -> list[str]:
+    """Leaves left mid-swap by a killed compaction (ADVICE r6: a crash
+    between the remove and move loops used to leave a silently truncated
+    leaf with nothing on disk marking it). The marker file is written
+    before any original file is removed and deleted only after every
+    staged file is moved in, so its presence == the leaf's data may be
+    split between leaf and staging."""
+    out = []
+    for cur, _dirs, files in os.walk(root):
+        if SWAP_MARKER in files:
+            out.append(os.path.relpath(cur, root))
+    return sorted(out)
+
+
+def _refuse_mid_swap(root: str) -> None:
+    marked = swap_markers(root)
+    if marked:
+        raise RuntimeError(
+            f"table {root} has leaves mid-swap from a killed compaction: "
+            f"{marked}; restore each leaf from the staging dir recorded in "
+            f"its {SWAP_MARKER} before reading or re-compacting"
+        )
 
 
 def leaf_dirs(root: str) -> dict[str, list[dict]]:
@@ -64,6 +90,7 @@ def plan_compaction(
 ) -> list[dict]:
     """Leaf directories worth rewriting: more files than
     ``ceil(total_bytes / target_bytes)`` would produce."""
+    _refuse_mid_swap(root)
     jobs = []
     for rel, parts in sorted(leaf_dirs(root).items()):
         total = sum(p["bytes"] for p in parts)
@@ -143,6 +170,13 @@ def compact_parquet_root(
                 f"compaction row drift in {job['dir']}: "
                 f"{rows_before} -> {rows_after}; staged output left at {staged}"
             )
+        # mid-swap marker BEFORE the remove loop: a kill inside the swap
+        # window then leaves an on-disk breadcrumb (staging path + row
+        # count) instead of a silently truncated leaf; removed only after
+        # every staged file has been moved in (ADVICE r6).
+        marker = os.path.join(leaf, SWAP_MARKER)
+        with open(marker, "w") as mf:
+            json.dump({"staging": staged, "rows": rows_after}, mf)
         for fname in os.listdir(leaf):
             if fname.endswith(".parquet"):
                 os.remove(os.path.join(leaf, fname))
@@ -154,6 +188,7 @@ def compact_parquet_root(
                     os.path.join(leaf, f"compacted-{moved:05d}.parquet"),
                 )
                 moved += 1
+        os.remove(marker)
         rewritten.append({**job, "files_after": moved, "rows": rows_after})
     shutil.rmtree(staging_base, ignore_errors=True)
     return {

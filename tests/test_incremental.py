@@ -413,3 +413,60 @@ def test_files_arriving_after_cow_commit_refused(spark, split_c, tmp_path_factor
     one = _oneshot(spark, in_dir, oneshot)
     assert result["counts"] == one["counts"]
     _compare_outputs(spark, out, oneshot)
+
+
+def test_files_arriving_during_new_batch_recovery_restage(
+    spark, split_c, tmp_path_factory
+):
+    """ADVICE r6 (high): kill at 'new_batch' — the batch's hub/sink
+    partitions are already on disk, the .cow record is NOT — then more
+    input files arrive before the re-run. The restage must derive the
+    overlap from the OLD batches only (ingest_batch != batch_id):
+    reading the half-written batch would duplicate its rows into
+    superseded_raw and rmtree the freshly rewritten batch's own
+    partitions with empty retained rows, silently dropping
+    conversations. Mirrors test_files_arriving_during_recovery_restage
+    one failure window later."""
+    in_dir, out, oneshot = _fresh(tmp_path_factory, split_c, "inc_nbgrow")
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 0
+    # overlapping extension files are staged AND the new batch is fully
+    # written (ingest_batch=1 partitions exist) when the kill hits
+    _copy_parts(f"{split_c}/c_ext", in_dir, "batch_c_ext")
+    with pytest.raises(RuntimeError, match="injected kill at new_batch"):
+        run_incremental(spark, in_dir, out, CFG, fail_at="new_batch")
+    # growth during recovery -> restage over the full file set
+    _copy_parts(f"{split_c}/c_new", in_dir, "batch_c_new")
+    result = run_incremental(spark, in_dir, out, CFG)
+    assert result["batch_id"] == 1
+    one = _oneshot(spark, in_dir, oneshot)
+    assert result["counts"] == one["counts"]
+    _compare_outputs(spark, out, oneshot)
+
+
+def test_nonempty_tags_fingerprint_stable_across_runs(
+    spark, split_c, tmp_path_factory
+):
+    """ADVICE r6 (medium): dict-valued config fields (tags) fingerprint
+    as lists-of-tuples, which JSON round-trips to lists-of-lists — with
+    any non-empty tags the second run used to raise 'config changed'."""
+    cfg = PipelineConfig(logging_enabled=True, tags={"team": "ingest", "env": "ci"})
+    in_dir, out, _ = _fresh(tmp_path_factory, split_c, "inc_tags")
+    assert run_incremental(spark, in_dir, out, cfg)["batch_id"] == 0
+    _copy_parts(f"{split_c}/c_new", in_dir, "batch_c_new")
+    result = run_incremental(spark, in_dir, out, cfg)  # must not raise
+    assert result["batch_id"] == 1
+
+
+def test_deleted_recorded_input_file_refused(spark, split_c, tmp_path_factory):
+    """ADVICE r6 (low): a recorded input file deleted from in_dir breaks
+    the append-only invariant — refuse loudly instead of keeping output
+    rows for inputs that no longer exist."""
+    in_dir, out, _ = _fresh(tmp_path_factory, split_c, "inc_del")
+    assert run_incremental(spark, in_dir, out, CFG)["batch_id"] == 0
+    victim = next(
+        f for f in sorted(os.listdir(in_dir)) if f.endswith(".parquet")
+    )
+    os.remove(os.path.join(in_dir, victim))
+    _copy_parts(f"{split_c}/c_new", in_dir, "batch_c_new")
+    with pytest.raises(ValueError, match="missing"):
+        run_incremental(spark, in_dir, out, CFG)

@@ -128,3 +128,37 @@ def test_compact_refuses_bucketed_table_dir(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="Hive-bucketed"):
         compact_parquet_root(spark, str(base / "bucketed"), target_bytes=1 << 30)
     spark.sql("DROP TABLE IF EXISTS test_bucket_guard")
+
+
+def test_mid_swap_marker_detected_and_refused(spark, tmp_path_factory):
+    """ADVICE r6: a kill between a leaf's remove and move loops must
+    leave an on-disk marker, and maintenance must refuse to operate on a
+    table with a mid-swap leaf instead of reading it silently truncated."""
+    import json
+
+    from aws_log_ingestion_spark.plans.maintenance import (
+        SWAP_MARKER,
+        swap_markers,
+    )
+
+    root = str(tmp_path_factory.mktemp("maint_swap") / "sink")
+    t = transcripts_from_events(spark, SF_DIR)
+    t.withColumn("sink", F.col("tool")).repartition(4).write.partitionBy(
+        "sink"
+    ).parquet(root)
+
+    # simulate the crash window: marker present in one leaf
+    leaf = os.path.join(root, sorted(leaf_dirs(root))[0])
+    with open(os.path.join(leaf, SWAP_MARKER), "w") as f:
+        json.dump({"staging": "/nowhere", "rows": 0}, f)
+    assert swap_markers(root) != []
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        plan_compaction(root, target_bytes=1 << 30)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        compact_parquet_root(spark, root, target_bytes=1 << 30)
+
+    # marker cleared -> compaction proceeds and leaves no markers behind
+    os.remove(os.path.join(leaf, SWAP_MARKER))
+    report = compact_parquet_root(spark, root, target_bytes=1 << 30)
+    assert report["rewritten"] != []
+    assert swap_markers(root) == []

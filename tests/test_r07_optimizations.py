@@ -1,0 +1,141 @@
+"""Round-7 optimization equivalence pins.
+
+Each optimization rewrote an operator's INTERNALS for speed while
+claiming bit-identical output; these tests pin each claim against the
+pre-optimization formulation kept (or reconstructed) as the reference.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_log_ingestion_spark.functions import patterns as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- patterns: guarded predicates == raw regexes -----------------------
+
+ADVERSARIAL_TEXTS = [
+    None,
+    "",
+    "REPORT RequestId: abc",
+    "xREPORT RequestId: abc",
+    'line\n[1,"NR_LAMBDA_MONITORING","x"]',  # marker NOT on first line
+    '[1,"NR_LAMBDA_MONITORING","x"]',
+    'prefix "NR_LAMBDA_MONITORING tail',
+    "2020-02-04T00:26:18.068Z req-1 Task timed out after 3.00 seconds",
+    "Task timed out after 3.00 seconds",  # literal without the prefix
+    "RequestId: 0f0f0f0f-0000-4000-8000-000000000000 ",
+    "RequestId:\tx",
+    "no markers at all",
+    "Z RequestId: 00000000-0000-4000-8000-000000000000 trailing",
+    "RequestId: not-a-uuid",
+]
+
+
+def test_guarded_patterns_match_raw_regexes(spark):
+    df = spark.createDataFrame(
+        [(t,) for t in ADVERSARIAL_TEXTS], "text string"
+    )
+    t = F.col("text")
+    out = df.select(
+        P.is_report(t).alias("g_report"),
+        t.rlike(P.REPORT).alias("r_report"),
+        P.is_nr_marker(t).alias("g_nr"),
+        t.rlike(P.NR_MONITORING).alias("r_nr"),
+        P.is_timeout(t).alias("g_to"),
+        t.rlike(P.TIMEOUT).alias("r_to"),
+        P.is_runtime_kill(t).alias("g_kill"),
+        t.rlike(P.RUNTIME_KILL).alias("r_kill"),
+        P.extract_request_id(t).alias("g_rid"),
+        F.nullif(F.regexp_extract(t, P.REQUEST_ID, 1), F.lit("")).alias("r_rid"),
+    ).collect()
+    for row in out:
+        assert row["g_report"] == row["r_report"], row
+        assert row["g_nr"] == row["r_nr"], row
+        assert row["g_to"] == row["r_to"], row
+        assert row["g_kill"] == row["r_kill"], row
+        assert row["g_rid"] == row["r_rid"], row
+
+
+# --- text_analysis: one-pass token counting == per-word filters --------
+
+
+def test_count_tokens_in_equals_per_word_counts(spark):
+    from aws_log_ingestion_spark.operators import text_analysis as TA
+
+    texts = [
+        "",
+        "the",
+        "the the the",
+        "a a a",
+        "and rand android a an the theo of",
+        "  the \t and\nof   is  ",
+        "Ze ümlaut the ötest of",
+        "athe thea th e",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    words = TA._norm_words(F.col("text"))
+    for ws in [tuple(TA.STOPWORDS), tuple(TA.LANG_MARKERS["en"]), tuple(TA.LANG_MARKERS["de"])]:
+        got = docs.select(
+            "doc_id", TA._count_tokens_in(F.col("text"), ws).alias("n")
+        ).collect()
+        ref = docs.select(
+            "doc_id",
+            sum((TA._count_word(words, w) for w in ws), F.lit(0)).alias("n"),
+        ).collect()
+        assert {r["doc_id"]: r["n"] for r in got} == {
+            r["doc_id"]: r["n"] for r in ref
+        }, ws
+
+
+# --- text_analysis: translate-based punct count == regex char class ---
+
+
+def test_count_punct_equals_regex_class(spark):
+    from aws_log_ingestion_spark.operators import text_analysis as TA
+
+    texts = [
+        "",
+        "plain words only",
+        "a,b.c!d?e:f;g(h)i[j]{k}<l>",
+        "tabs\tand\nnewlines\x0b\f\r spaces",
+        "unicode: ümläut été 中文 \U0001f600 ok",
+        "digits 123 and CAPS mixed_under-score",
+        '"quotes" and \\backslashes\\',
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = docs.select(
+        "doc_id",
+        TA._count_punct(F.col("text")).alias("fast"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0)
+        ).alias("ref"),
+    ).collect()
+    for r in out:
+        assert r["fast"] == r["ref"], r
+
+
+# --- dedup: codegen-aggregate signatures == per-row lambda signatures --
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_sig_cols_equals_sig_array(spark, hash_fn):
+    from aws_log_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    ss = dedup.shingle_sets(docs, 3).filter(F.size("sh_set") >= 1)
+    n = 16
+    ref = {
+        r["doc_id"]: [r["sig"][i] for i in range(n)]
+        for r in dedup._sig_array(ss, n, hash_fn).select("doc_id", "sig").collect()
+    }
+    new = {
+        r["doc_id"]: [r[f"s{i}"] for i in range(n)]
+        for r in dedup._sig_cols(ss, n, hash_fn).collect()
+    }
+    assert new == ref
