@@ -122,6 +122,15 @@ def _walk_chunks(buf: bytes, start: int, end: int):
         pos = payload + size + (size % 2)
 
 
+def demux_avi_mjpeg(payload: bytes):
+    """Demux-only half of ``decode_avi_mjpeg``: returns
+    ``(jpeg_blobs, fps)`` without decoding any frame, so callers can
+    pool frames from many clips into one lockstep ``decode_jpeg_batch``
+    call (operators/multimodal.video_frame_features). Raises exactly the
+    demux-stage errors of ``decode_avi_mjpeg``."""
+    return _demux_avi(payload)
+
+
 def decode_avi_mjpeg(payload: bytes):
     """Decode an MJPEG AVI into ``(frames, fps)``: frames a list of
     (H, W, 3) uint8 RGB arrays (one per ``00dc``/``00db`` chunk, decoded
@@ -129,6 +138,16 @@ def decode_avi_mjpeg(payload: bytes):
     the avih micro-sec-per-frame as fallback. Raises ValueError on
     anything that is not a parseable MJPEG AVI (non-RIFF bytes, missing
     movi, a non-MJPG stream, or any frame the JPEG decoder rejects)."""
+    blobs, fps = _demux_avi(payload)
+    frames = decode_jpeg_frames(blobs)
+    if not frames:
+        raise ValueError("no frame chunks in AVI movi list")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("AVI frames disagree on dimensions")
+    return frames, fps
+
+
+def _demux_avi(payload: bytes):
     try:
         if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             raise ValueError("not a RIFF/AVI payload")
@@ -171,13 +190,8 @@ def decode_avi_mjpeg(payload: bytes):
                 for fcc2, p2, sz2 in _walk_chunks(payload, p + 4, p + size):
                     if fcc2[2:4] in (b"dc", b"db"):
                         frames.append(payload[p2 : p2 + sz2])
-        frames = decode_jpeg_frames(frames)
         if not handler_ok:
             raise ValueError("no MJPG 'vids' stream header in AVI")
-        if not frames:
-            raise ValueError("no frame chunks in AVI movi list")
-        if any(f.shape != frames[0].shape for f in frames):
-            raise ValueError("AVI frames disagree on dimensions")
         return frames, (fps or 0)
     except ValueError:
         raise

@@ -69,35 +69,49 @@ def _group_stats_factory(path: str, cfg: PipelineConfig):
     tags = dict(cfg.tags)
 
     def stats(pdf):
+        import numpy as np
         import pandas as pd
 
-        pdf = pdf.sort_values("turn_idx")
-        conv_id = pdf["conv_id"].iloc[0]
-        sink = pdf["sink"].iloc[0]
-        first = pdf.iloc[0]
+        # Per-group pandas overhead is the replay's floor (~37k groups of
+        # ~7 rows in the 5% bench sample): argsort on the numpy column +
+        # scalar .iat lookups replace sort_values (whole-frame copy) and
+        # iloc[0] (per-group Series materialization). turn_idx is unique
+        # per conversation, so sort stability is irrelevant — identical
+        # event order, identical bytes.
+        tv = pdf["turn_idx"].to_numpy()
+        order = np.argsort(tv)
+        i0 = int(order[0])
+        conv_id = pdf["conv_id"].iat[0]
+        sink = pdf["sink"].iat[i0]
+
+        def meta(name):
+            return (pdf[name].iat[i0] if name in pdf.columns else "") or ""
+
         conv_ordinal = int("".join(ch for ch in conv_id if ch.isdigit()) or 0)
 
+        ts_v = pdf["ts_millis"].to_numpy()[order]
+        txt_v = pdf["text"].to_numpy()[order]
         events = [
             {
                 "id": C.make_event_id(conv_ordinal, int(t)),
                 "timestamp": int(ts),
                 "message": m,
             }
-            for t, ts, m in zip(pdf["turn_idx"], pdf["ts_millis"], pdf["text"])
+            for t, ts, m in zip(tv[order], ts_v, txt_v)
         ]
         entry = C.build_entry(
             conv_id,
-            first.get("log_group", "") or "",
-            first.get("log_stream_name", "") or "",
-            first.get("owner", "") or "",
+            meta("log_group"),
+            meta("log_stream_name"),
+            meta("owner"),
             events,
         )
         if path == "infra":
             context = {
-                "function_name": first.get("function_name", "") or "",
-                "invoked_function_arn": first.get("invoked_function_arn", "") or "",
-                "log_group_name": first.get("log_group", "") or "",
-                "log_stream_name": first.get("log_stream_name", "") or "",
+                "function_name": meta("function_name"),
+                "invoked_function_arn": meta("invoked_function_arn"),
+                "log_group_name": meta("log_group"),
+                "log_stream_name": meta("log_stream_name"),
             }
             obj = C.build_infra_data(context, entry)
             split_fn = C.split_infra
@@ -605,68 +619,94 @@ def _staged_with_costs(
         cost = jc.event_cost_infra_expr(
             F.col("text"), F.col("turn_idx"), F.col("ts_millis")
         )
-        empty = jc.empty_len_infra_expr(
-            F.col("conv_id"),
-            _mcol(staged, "log_group"),
-            _mcol(staged, "log_stream_name"),
-            _mcol(staged, "owner"),
-            _mcol(staged, "function_name"),
-            _mcol(staged, "invoked_function_arn"),
-        )
     else:
         cost = jc.event_cost_logging_expr(
             F.col("text"), F.col("ts_millis"), F.col("trace_fill"), F.col("rid_fill")
         )
-        empty = jc.empty_len_logging_expr(
-            cfg, _mcol(staged, "log_group"), _mcol(staged, "log_stream_name")
+    staged = staged.withColumn("__cost", cost)
+    if with_pos:
+        # the interval-replay paths read __empty per row; the aggregate
+        # paths (with_pos=False) compute it once per conversation in
+        # _per_conv_raw instead — the envelope fields are conversation-
+        # constant, so evaluating their escape-count scans on every turn
+        # was pure repetition (measured in OPTIMIZATION_r07.md)
+        staged = staged.withColumn("__empty", _empty_expr(staged, path, cfg))
+    return staged
+
+
+def _empty_expr(df: DataFrame, path: str, cfg: PipelineConfig):
+    """EXACT empty-envelope byte length from the frame's meta columns
+    (functions/jsoncost.py; absent meta = '' exactly like the grouped
+    replay's ``first.get(name, '') or ''``)."""
+    from ..functions import jsoncost as jc
+
+    if path == "infra":
+        return jc.empty_len_infra_expr(
+            F.col("conv_id"),
+            _mcol(df, "log_group"),
+            _mcol(df, "log_stream_name"),
+            _mcol(df, "owner"),
+            _mcol(df, "function_name"),
+            _mcol(df, "invoked_function_arn"),
         )
-    return staged.withColumn("__cost", cost).withColumn("__empty", empty)
+    return jc.empty_len_logging_expr(
+        cfg, _mcol(df, "log_group"), _mcol(df, "log_stream_name")
+    )
 
 
-def _per_conv_raw(staged: DataFrame) -> DataFrame:
+def _per_conv_raw(staged: DataFrame, path: str, cfg: PipelineConfig) -> DataFrame:
     """Per-conversation raw totals over a ``_staged_with_costs`` frame —
     map-side-combining aggregation, no window and NO SORT: costs are
-    order-independent sums and the conversation-level envelope length is
-    read from the turn_idx-min row via ``min_by`` — equal to the old
-    pinned-window ``first()`` exactly (that window pinned the same
-    turn_idx-min row).
+    order-independent sums, and the conversation-level envelope values
+    (sink + the meta fields the empty-envelope length needs) come from
+    the turn_idx-min row — exactly the row the old pinned-window
+    ``first()`` read, so results are identical even when meta varies
+    mid-conversation.
 
-    The aggregation buffers are deliberately ALL-LONG: a string-valued
-    min_by/first (e.g. the obvious ``min_by(sink, turn_idx)``) is not a
-    mutable aggregation-buffer type, which silently demotes the whole
-    aggregate to SortAggregate — re-introducing a full sort of the fact
-    rows, the exact thing this shape removes (observed in the r7 plan
-    diff). ``sink`` is therefore recovered through a keys-only aggregate
-    (grouping KEYS may be strings; only buffer values are restricted)
-    joined back on the turn_idx-min row — exactly one match per
-    conversation, so the result is the turn_idx-min row's sink,
-    bit-identical to the pinned-window shape even if sink varied
-    mid-conversation."""
+    Two deliberate shapes here:
+    * The core aggregation buffers are ALL-LONG: a string-valued
+      min_by/first is not a mutable aggregation-buffer type, which
+      silently demotes the whole aggregate to SortAggregate —
+      re-introducing a full sort of the fact rows, the exact thing this
+      path removes (observed in the r7 plan diff). Strings (sink, meta)
+      travel as grouping KEYS of a second, keys-only aggregate (keys may
+      be strings; only buffer values are restricted) joined back on the
+      turn_idx-min row — exactly one match per conversation.
+    * ``__empty`` is computed AFTER that join, once per conversation:
+      its escape-count scans run over rows = conversations instead of
+      rows = turns (the envelope fields are conversation-level)."""
     core = (
         staged.groupBy("conv_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("__cost").alias("__cost_sum"),
-            F.min_by("__empty", F.col("turn_idx")).alias("__empty"),
             F.min("turn_idx").alias("__min_t"),
         )
-        .withColumn(
-            "raw_bytes",
-            F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
-        )
     )
-    firsts = staged.groupBy("conv_id", "sink").agg(
+    meta_keys = [m for m in _META if m in staged.columns]
+    firsts = staged.groupBy("conv_id", "sink", *meta_keys).agg(
         F.min("turn_idx").alias("__t")
     )
-    return (
-        core.join(
-            firsts,
-            (core["conv_id"] == firsts["conv_id"])
-            & (F.col("__t") == F.col("__min_t")),
-        )
-        .drop(firsts["conv_id"])
-        .drop("__t", "__min_t")
+    # explicit aliases: core and firsts share lineage (both aggregate the
+    # same staged frame), so bare df["col"] references in the self-join
+    # condition are ambiguous
+    c, f = core.alias("__pcr_c"), firsts.alias("__pcr_f")
+    j = c.join(
+        f,
+        (F.col("__pcr_c.conv_id") == F.col("__pcr_f.conv_id"))
+        & (F.col("__pcr_f.__t") == F.col("__pcr_c.__min_t")),
+    ).select(
+        "__pcr_c.conv_id",
+        "__pcr_c.n_events",
+        "__pcr_c.__cost_sum",
+        "__pcr_f.sink",
+        *[f"__pcr_f.{m}" for m in meta_keys],
     )
+    j = j.withColumn("__empty", _empty_expr(j, path, cfg)).withColumn(
+        "raw_bytes",
+        F.col("__empty") + F.col("__cost_sum") + F.lit(2) * (F.col("n_events") - 1),
+    )
+    return j.drop(*meta_keys)
 
 
 def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -685,7 +725,7 @@ def chunk_raw_costs(df: DataFrame, path: str, cfg: PipelineConfig | None = None)
     staged = _staged_with_costs(df, path, cfg, with_pos=False)
     from ..functions import jsoncost as jc
 
-    per_conv = _per_conv_raw(staged)
+    per_conv = _per_conv_raw(staged, path, cfg)
     return per_conv.select(
         "conv_id",
         "sink",
@@ -734,7 +774,7 @@ def chunk_census(
     from ..functions import jsoncost as jc
 
     staged = _staged_with_costs(df, path, cfg, with_pos=False)
-    per_conv = _per_conv_raw(staged)
+    per_conv = _per_conv_raw(staged, path, cfg)
     legs = []
     for cap_name, cap in caps:
         fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), cap).cast("long")
@@ -798,7 +838,7 @@ def chunk_counts_fast(
     from ..functions import jsoncost as jc
 
     staged = _staged_with_costs(df, path, cfg, with_pos=False)
-    per_conv = _per_conv_raw(staged)
+    per_conv = _per_conv_raw(staged, path, cfg)
     fits = jc.gz_upper_fits_expr(F.col("raw_bytes"), max_size)
     singles = per_conv.filter(fits).select(
         "conv_id",
@@ -827,7 +867,6 @@ def chunk_counts_fast(
         pdf = pdf.sort_values("turn_idx").reset_index(drop=True)
         first = pdf.iloc[0]
         costs = [int(c) for c in pdf["__cost"]]
-        empty = int(pdf["__empty"].iloc[0])
 
         # Pre-serialize each event's message JSON ONCE (VERDICT r3 #6):
         # ambiguous-band probes then assemble the payload text by string
@@ -844,6 +883,11 @@ def chunk_counts_fast(
             json.dumps(_message_for(path, row)) for row in pdf.itertuples(index=False)
         ]
         obj0, _split = _envelope(first, path, cfg)
+        # empty-envelope length from the REAL no-events payload — the
+        # ground truth the jsoncost Catalyst expr mirrors (pinned in
+        # tests/test_jsoncost.py); the staged frame no longer carries a
+        # per-row __empty column (computed per conversation instead)
+        empty = C.empty_payload_len(obj0)
         if path == "infra":
             entry0 = json.loads(obj0["entry"])
             entry0["logEvents"] = []

@@ -410,6 +410,17 @@ def _fragment_extents(p: bytes, track_id: int):
     return extents, delta
 
 
+def demux_mp4_mjpeg(payload: bytes):
+    """Demux-only half of ``decode_mp4_mjpeg``: returns
+    ``(jpeg_blobs, fps)`` without decoding any frame. Lets callers pool
+    frame blobs from MANY clips into one ``decode_jpeg_batch`` call —
+    short clips alone sit below the lockstep crossover, but frames of
+    different clips share sampling structure and decode in lockstep
+    together (operators/multimodal.video_frame_features). Raises exactly
+    the demux-stage errors of ``decode_mp4_mjpeg``."""
+    return _demux_mp4(payload)
+
+
 def decode_mp4_mjpeg(payload: bytes):
     """Decode a Motion-JPEG MP4 into ``(frames, fps)``: walk the box
     tree, find the first track whose stsd fourcc is a Motion-JPEG entry,
@@ -419,6 +430,16 @@ def decode_mp4_mjpeg(payload: bytes):
     sample. fps = mdhd timescale / sample duration (rounded). Raises
     NotImplementedError for recognized inter-frame codecs (avc1 etc. —
     needs ffmpeg) and ValueError for anything malformed."""
+    blobs, fps = _demux_mp4(payload)
+    frames = decode_jpeg_frames(blobs)
+    if not frames:
+        raise ValueError("mp4 Motion-JPEG track has no samples")
+    if any(f.shape != frames[0].shape for f in frames):
+        raise ValueError("mp4 frames disagree on dimensions")
+    return frames, fps
+
+
+def _demux_mp4(payload: bytes):
     try:
         if len(payload) < 12 or payload[4:8] != b"ftyp":
             raise ValueError("not an ISO-BMFF payload")
@@ -453,18 +474,13 @@ def decode_mp4_mjpeg(payload: bytes):
             extents = _sample_extents(sizes, offsets, runs)
         else:  # fragmented: samples live in moof/trun
             extents, delta = _fragment_extents(payload, track_id)
-        frames = []
+        blobs = []
         for off, size in extents:
             if off + size > len(payload):
                 raise ValueError("mp4 sample extent overruns container")
-            frames.append(payload[off : off + size])
-        frames = decode_jpeg_frames(frames)
-        if not frames:
-            raise ValueError("mp4 Motion-JPEG track has no samples")
-        if any(f.shape != frames[0].shape for f in frames):
-            raise ValueError("mp4 frames disagree on dimensions")
+            blobs.append(payload[off : off + size])
         fps = round(timescale / delta) if timescale and delta else 0
-        return frames, fps
+        return blobs, fps
     except (ValueError, NotImplementedError):
         raise
     except (struct.error, IndexError) as exc:  # truncated/garbled container
