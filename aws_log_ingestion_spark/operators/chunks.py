@@ -386,15 +386,19 @@ def _with_pos_and_state(
         else:
             t = F.col("text")
             traw = trace_id_raw(t, P.is_nr_marker(t))
-            df = df.withColumn(
-                "trace_fill",
-                F.nullif(F.last(traw, ignorenulls=True).over(run), F.lit("")),
-            )
             rid = F.when(
                 F.col("log_group").startswith(cfg.lambda_prefix),
                 P.extract_request_id(t),
             )
-            df = df.withColumn("rid_fill", F.last(rid, ignorenulls=True).over(run))
+            # both fills in one select -> one Window exec (melt.py note)
+            df = df.select(
+                "*",
+                F.last(traw, ignorenulls=True).over(run).alias("__tr_last"),
+                F.last(rid, ignorenulls=True).over(run).alias("rid_fill"),
+            )
+            df = df.withColumn(
+                "trace_fill", F.nullif(F.col("__tr_last"), F.lit(""))
+            ).drop("__tr_last")
     else:
         df = df.withColumn("trace_fill", F.lit(None).cast("string")).withColumn(
             "rid_fill", F.lit(None).cast("string")

@@ -95,16 +95,24 @@ def with_melt_fills(
             & (F.col("turn_idx") == F.col("__m_turn")),
             "left",
         ).drop("__m_conv", "__m_turn")
-        df = df.withColumn(
-            "trace_id",
-            F.nullif(
-                F.last("__trace_raw", ignorenulls=True).over(run), F.lit("")
-            ),
-        ).drop("__trace_raw")
+        # BOTH fills in one projection: window expressions declared in the
+        # same select land in ONE Window exec (an interleaved Project
+        # between two withColumns defeats CollapseWindow — observed as two
+        # Window passes over the sorted 5M rows in the r7 plan dump)
         is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
         rid = F.when(is_lambda_group, P.extract_request_id(t))
-        return df.withColumn(
-            "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+        # temp aliases then withColumn: an upstream frame may already
+        # carry lambda_request_id (streaming cross-batch state) and
+        # select("*", alias) would duplicate it where withColumn replaces
+        df = df.select(
+            "*",
+            F.last("__trace_raw", ignorenulls=True).over(run).alias("__tr_last"),
+            F.last(rid, ignorenulls=True).over(run).alias("__rid_last"),
+        )
+        return (
+            df.withColumn("trace_id", F.nullif(F.col("__tr_last"), F.lit("")))
+            .withColumn("lambda_request_id", F.col("__rid_last"))
+            .drop("__trace_raw", "__tr_last", "__rid_last")
         )
 
     if decode_traces and carry_decode:
@@ -120,14 +128,16 @@ def with_melt_fills(
         # With finalize=False the caller may interpose MORE same-key
         # windows (e.g. classify's max) before decode_carried_traces —
         # keeping ALL windows adjacent on one clustering.
-        df = df.withColumn(
-            "__trace_carry",
-            F.last(F.when(is_nr, t), ignorenulls=True).over(run),
-        )
         is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
         rid = F.when(is_lambda_group, P.extract_request_id(t))
-        df = df.withColumn(
-            "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+        # one select -> one Window exec for both fills (see marker_join)
+        df = df.select(
+            "*",
+            F.last(F.when(is_nr, t), ignorenulls=True).over(run).alias("__trace_carry"),
+            F.last(rid, ignorenulls=True).over(run).alias("__rid_last"),
+        )
+        df = df.withColumn("lambda_request_id", F.col("__rid_last")).drop(
+            "__rid_last"
         )
         return decode_carried_traces(df) if finalize else df
 
@@ -152,15 +162,20 @@ def with_melt_fills(
         df = df.withColumn("__trace_raw", trace_id_raw(t, is_nr))
     else:
         df = df.withColumn("__trace_raw", F.when(is_nr, F.lit("")))
-    df = df.withColumn(
-        "trace_id", F.nullif(F.last("__trace_raw", ignorenulls=True).over(run), F.lit(""))
-    ).drop("__trace_raw")
-
-    # request id: extract (search semantics), gate on lambda prefix, fill
+    # request id: extract (search semantics), gate on lambda prefix, fill.
+    # Both fills declared in ONE select so they share a single Window
+    # exec (see the marker_join branch note).
     is_lambda_group = F.col("log_group").startswith(cfg.lambda_prefix)
     rid = F.when(is_lambda_group, P.extract_request_id(t))
-    return df.withColumn(
-        "lambda_request_id", F.last(rid, ignorenulls=True).over(run)
+    df = df.select(
+        "*",
+        F.last("__trace_raw", ignorenulls=True).over(run).alias("__tr_last"),
+        F.last(rid, ignorenulls=True).over(run).alias("__rid_last"),
+    )
+    return (
+        df.withColumn("trace_id", F.nullif(F.col("__tr_last"), F.lit("")))
+        .withColumn("lambda_request_id", F.col("__rid_last"))
+        .drop("__trace_raw", "__tr_last", "__rid_last")
     )
 
 
