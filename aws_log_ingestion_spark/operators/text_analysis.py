@@ -803,9 +803,17 @@ def rarity_score(docs: DataFrame) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words).alias("tok")).filter(
         F.col("tok") != ""
     )
+    # persist the (doc, token) counts: both the document-frequency branch
+    # and the scoring join consume them, and the optimizer's two-level
+    # aggregate merge gives the branches different shapes, so exchange
+    # reuse cannot dedupe — without the barrier the explode+partial-agg
+    # pass over every token occurrence runs twice (r7: 65.7 -> 51.2
+    # CPU-s at 100k docs). Intra-query intermediate, recomputed from the
+    # inputs on every invocation — not a cross-run result cache (same
+    # precedent as the dedup pipeline's shingle-set cache).
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
+    ).persist()
     df_tab = per_doc_tok.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
