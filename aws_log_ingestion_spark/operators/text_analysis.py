@@ -803,17 +803,18 @@ def rarity_score(docs: DataFrame) -> DataFrame:
     toks = docs.select("doc_id", F.explode(words).alias("tok")).filter(
         F.col("tok") != ""
     )
-    # persist the (doc, token) counts: both the document-frequency branch
-    # and the scoring join consume them, and the optimizer's two-level
-    # aggregate merge gives the branches different shapes, so exchange
-    # reuse cannot dedupe — without the barrier the explode+partial-agg
-    # pass over every token occurrence runs twice (r7: 65.7 -> 51.2
-    # CPU-s at 100k docs). Intra-query intermediate, recomputed from the
-    # inputs on every invocation — not a cross-run result cache (same
-    # precedent as the dedup pipeline's shingle-set cache).
+    # NOTE (r7, measured negative result): the document-frequency branch
+    # and the scoring join both consume per_doc_tok and the optimizer's
+    # two-level aggregate merge gives the branches different shapes, so
+    # the explode+partial-agg pass runs twice. Persisting per_doc_tok to
+    # dedupe it LOST in an interleaved A/B (walls 4.7 vs 4.1 s, 69 vs 61
+    # CPU-s at 100k docs): the in-memory materialization of the 5M-row
+    # pair table costs more than the saved recompute, and the cache adds
+    # a stage barrier where the duplicated branches otherwise overlap on
+    # idle cores. Kept dual-pass deliberately.
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    ).persist()
+    )
     df_tab = per_doc_tok.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
