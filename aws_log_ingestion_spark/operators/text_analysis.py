@@ -800,23 +800,37 @@ def rarity_score(docs: DataFrame) -> DataFrame:
     Python, no window over a hot key.
     """
     words = _norm_words(F.col("text"))
+    # doc_id is the documents table's primary key — never null. Filtering
+    # nulls EXPLICITLY here (not just via the optimizer's inference) is
+    # what lets both aggregate branches below share one subtree: the
+    # final left join makes the optimizer push isnotnull(doc_id) into
+    # the scoring branch only, which would otherwise de-canonicalize the
+    # two (doc_id, tok) exchanges and defeat the stage reuse this
+    # function is shaped for (see the NOTE below).
     toks = docs.select("doc_id", F.explode(words).alias("tok")).filter(
-        F.col("tok") != ""
+        (F.col("tok") != "") & F.col("doc_id").isNotNull()
     )
-    # NOTE (r7, measured negative result): the document-frequency branch
-    # and the scoring join both consume per_doc_tok and the optimizer's
-    # two-level aggregate merge gives the branches different shapes, so
-    # the explode+partial-agg pass runs twice. Persisting per_doc_tok to
-    # dedupe it LOST in an interleaved A/B (walls 4.7 vs 4.1 s, 69 vs 61
-    # CPU-s at 100k docs): the in-memory materialization of the 5M-row
-    # pair table costs more than the saved recompute, and the cache adds
-    # a stage barrier where the duplicated branches otherwise overlap on
-    # idle cores. Kept dual-pass deliberately.
+    # NOTE (r7): the document-frequency branch and the scoring join both
+    # consume per_doc_tok. With a plain count(1) document frequency the
+    # optimizer rewrites the df branch into a DISTINCT-style aggregate
+    # (cnt pruned away), so the two (doc_id, tok) exchanges stop being
+    # canonically equal and the explode+partial-agg pass runs TWICE.
+    # Making df consume cnt — count(when(cnt > 0, 1)), value-identical
+    # since cnt >= 1 by construction — keeps both subtrees identical and
+    # AQE stage reuse dedupes them at runtime (plan-verified: the df
+    # branch reads a ReusedExchange of the scoring branch's pair
+    # exchange; plans/r07/rarity_after.txt). One full explode pass over
+    # the corpus saved; interleaved A/B at 250k amplified docs: quiet
+    # rounds 56-61 -> 41-47 CPU-s (~25%), wall min 3.49 -> 2.90 s.
+    # Persisting per_doc_tok instead LOST in an interleaved A/B (walls
+    # 4.7 vs 4.1 s, 69 vs 61 CPU-s at 100k docs): the in-memory
+    # materialization costs more than the saved recompute and adds a
+    # stage barrier where the branches otherwise overlap on idle cores.
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     df_tab = per_doc_tok.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
+        F.count(F.when(F.col("cnt") > 0, F.lit(1))).cast("long").alias("df")
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     weights = df_tab.crossJoin(F.broadcast(n_docs)).select(

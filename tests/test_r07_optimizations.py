@@ -139,3 +139,64 @@ def test_sig_cols_equals_sig_array(spark, hash_fn):
         for r in dedup._sig_cols(ss, n, hash_fn).collect()
     }
     assert new == ref
+
+
+# --- text_analysis: rarity df = count(when(cnt>0,1)) == count(1) -------
+
+
+def test_rarity_df_formulation_exact_and_reused(spark):
+    """rarity_score's document-frequency aggregate consumes cnt
+    (count(when(cnt > 0, 1))) purely so the df branch's exchange stays
+    canonically identical to the scoring branch's and AQE dedupes the
+    explode pass. Pin (a) value-equality against the plain count(1)
+    reference, (b) that the executed plan actually contains the
+    ReusedExchange the rewrite exists for."""
+    from aws_log_ingestion_spark.operators import text_analysis as TA
+    from aws_log_ingestion_spark.operators.text_analysis import _norm_words
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = TA.rarity_score(docs)
+    got = {r["doc_id"]: (r["n_tokens"], r["rarity_sum"], r["rarity_avg"])
+           for r in out.collect()}
+
+    # reference: the pre-rewrite formulation with plain count(1) df
+    words = _norm_words(F.col("text"))
+    toks = docs.select("doc_id", F.explode(words).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    per_doc_tok = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    df_tab = per_doc_tok.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    weights = df_tab.crossJoin(F.broadcast(n_docs)).select(
+        "tok", F.expr("n_docs * 1000 DIV df").cast("long").alias("w")
+    )
+    ref_rows = (
+        per_doc_tok.join(weights, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("w")).cast("long").alias("rarity_sum"),
+            F.sum("cnt").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    ref = {
+        r["doc_id"]: (r["n_tokens"], r["rarity_sum"], r["rarity_sum"] // r["n_tokens"])
+        for r in ref_rows
+    }
+    # docs with no tokens fall out of ref (left join fills zeros in out)
+    for doc_id, vals in ref.items():
+        assert got[doc_id] == vals, (doc_id, got[doc_id], vals)
+    for doc_id, vals in got.items():
+        if doc_id not in ref:
+            assert vals == (0, 0, 0), (doc_id, vals)
+
+    # the point of the formulation: the executed plan reuses the pair
+    # exchange instead of running the explode pass twice
+    q = out.agg(F.sum("rarity_sum"))
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "df branch no longer reuses the pair exchange"
