@@ -275,7 +275,16 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1).cache()
+    # NOT cached (r7, measured): the shingle frame is consumed by the
+    # signature pipeline and by the two verification set lookups, but
+    # AQE exchange reuse already dedupes pa/pb (one exchange, verified
+    # in the executed plan), so uncached it computes exactly twice.
+    # Columnar-caching 250k ~60-string arrays cost MORE than the one
+    # recompute it saves (interleaved A/B: wall med 10.01 -> 8.71 s,
+    # CPU med 226 -> 205 at 250k amplified docs) and the cache fill is
+    # a materialization barrier; at 100 TB a corpus-wide shingle cache
+    # cannot fit memory, so recompute-via-scan is also the scale shape.
+    ss = shingle_sets(docs, n).filter(F.size("sh_set") >= 1)
     sig = _sig_cols(ss, num_hashes, hash_fn)
 
     # bands -> (band, band_hash) rows via a single posexplode (one pass
@@ -333,7 +342,8 @@ def minhash_lsh_pairs(
     )
 
     # exact verification restricted to candidates: join each candidate
-    # pair to its two cached per-doc shingle arrays and intersect in-row
+    # pair to its two per-doc shingle arrays (pa/pb share ONE exchange
+    # via AQE reuse) and intersect in-row
     # with array_intersect — no shuffle of any per-shingle table exists
     # anywhere in this pipeline (sets are bounded by doc length; the
     # per-pair intersect runs JVM-side, no Python).
