@@ -677,7 +677,15 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
         ).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # count(when(tf > 0, 1)) == count(1) (tf >= 1 by construction); the
+    # consumed column keeps this branch from being rewritten into a
+    # DISTINCT-style aggregate, so its (doc_id, term) exchange stays
+    # canonically identical to the scoring branch's and AQE stage reuse
+    # dedupes the explode pass (same root cause and fix as
+    # rarity_score's — ReusedExchange verified in the executed plan).
+    df_t = tf.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, F.lit(1))).alias("doc_freq")
+    )
     ranked = tf.join(df_t, "term").withColumn(
         "rank",
         F.row_number().over(

@@ -200,3 +200,55 @@ def test_rarity_df_formulation_exact_and_reused(spark):
     q.collect()
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, "df branch no longer reuses the pair exchange"
+
+
+def test_tfidf_df_formulation_exact_and_reused(spark):
+    """Same pattern as rarity_score: tfidf_topk's document-frequency
+    aggregate consumes tf so the branch's exchange stays canonically
+    identical to the tf branch's. Pin value-equality against the plain
+    count(1) reference and the ReusedExchange in the executed plan."""
+    from pyspark.sql import Window as W
+
+    from aws_log_ingestion_spark.operators import text_analysis as TA
+    from aws_log_ingestion_spark.operators.text_analysis import (
+        STOPWORDS,
+        _norm_words,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(map(tuple, TA.tfidf_topk(docs).collect()))
+
+    words = _norm_words(F.col("text"))
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(words, lambda x: (x != "") & ~x.isin(*STOPWORDS))
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    ranked = tf.join(df_t, "term").withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("doc_freq"), F.col("term")
+            )
+        ),
+    )
+    ref = sorted(
+        map(
+            tuple,
+            ranked.filter(F.col("rank") <= 5)
+            .select(
+                "doc_id", "term", "tf", "doc_freq",
+                F.col("rank").cast("int").alias("rank"),
+            )
+            .collect(),
+        )
+    )
+    assert got == ref
+
+    qq = TA.tfidf_topk(docs).groupBy().count()
+    qq.collect()
+    plan = qq._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "df branch no longer reuses the tf exchange"
