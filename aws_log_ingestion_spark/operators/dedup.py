@@ -493,17 +493,29 @@ def line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     firsts = nonempty.groupBy("k").agg(
         F.min(F.struct("doc_id", "line_idx")).alias("first_occ")
     )
-    kept_ne = (
-        nonempty.join(firsts, "k")
+    # ONE explode pass carries both the dedup'd content lines and the
+    # always-kept whitespace lines: left-join every line against firsts
+    # and keep a row iff it is structural (k == '', never a dedup key,
+    # no match possible — firsts excludes '') or it IS its key's first
+    # occurrence. Equivalent to the previous
+    # `kept_nonempty UNION empties` formulation (pinned in
+    # tests/test_temporal_and_linededup.py) but drops the third full
+    # corpus explode the separate empties branch paid (r7 audit: 3
+    # Generate passes -> 2 in the executed plan).
+    kept = (
+        lines.withColumn("k", key)
+        .join(firsts, "k", "left")
         .filter(
-            (F.col("doc_id") == F.col("first_occ.doc_id"))
-            & (F.col("line_idx") == F.col("first_occ.line_idx"))
+            (F.col("k") == "")
+            | (
+                (F.col("doc_id") == F.col("first_occ.doc_id"))
+                & (F.col("line_idx") == F.col("first_occ.line_idx"))
+            )
         )
         .select("doc_id", "line_idx", "line")
     )
-    empties = lines.filter(key == "").select("doc_id", "line_idx", "line")
     agg = (
-        kept_ne.unionByName(empties)
+        kept
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_kept"),
