@@ -141,23 +141,37 @@ def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     document as one array — deduped per-row with array_distinct, so
     building the set is embarrassingly parallel: ZERO shuffle (the old
     explode + .distinct() shuffled the whole shingle corpus). Docs
-    shorter than n words keep an empty array."""
+    shorter than n words keep an empty array; NULL text keeps NULL.
+
+    The n-gram join runs through ``pyspark.ml.feature.NGram`` — a
+    COMPILED Scala UDF (iterator.sliding(n).map(_.mkString(" "))) —
+    because every Catalyst higher-order-function formulation evaluates
+    its lambda INTERPRETED per element (the r7 curate/minhash lesson).
+    Interleaved A/B at 250k amplified docs, identical output pinned row
+    for row: zip_with folds 35.6-38.5 CPU-s vs NGram 16.9-17.6 CPU-s
+    (~2.1x), wall 1.42 -> 0.75 s. Earlier formulations for the record:
+    zip_with beat transform+slice 12.3 s and per-element F.get 29.9 s at
+    100k docs. Values are byte-identical (words joined by one space), so
+    signatures, buckets and every oracle row are unchanged.
+
+    NGram's UDF NPEs on NULL input, hence the coalesce to an empty
+    array + explicit NULL restore — NULL text must stay NULL sh_set
+    (filtered by every caller exactly like the zip_with form did)."""
+    from pyspark.ml.feature import NGram
+
     words = F.split(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " ")
-    # n-grams as (n-1) zip_with folds over n equal-length shifted slices
-    # — O(L) per doc. The obvious transform(idx, i -> concat_ws(slice(
-    # words, i, n))) copies an O(L) suffix per position (O(L^2) per doc)
-    # and per-element F.get is ~15x slower than zip_with; measured at
-    # 100k docs: zip 1.7 s vs slice 12.3 s vs get 29.9 s for the same
-    # arrays. All slices share one length, so zip_with never null-pads.
-    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    arr = F.slice(words, 1, m)
-    for j in range(1, n):
-        arr = F.zip_with(
-            arr,
-            F.slice(words, j + 1, m),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        )
-    return docs.select("doc_id", F.array_distinct(arr).alias("sh_set"))
+    wdf = docs.select(
+        "doc_id",
+        words.isNull().alias("__sh_null"),
+        F.coalesce(words, F.array()).alias("__sh_words"),
+    )
+    ng = NGram(n=n, inputCol="__sh_words", outputCol="__sh_ng")
+    return ng.transform(wdf).select(
+        "doc_id",
+        F.when(F.col("__sh_null"), F.lit(None).cast("array<string>"))
+        .otherwise(F.array_distinct("__sh_ng"))
+        .alias("sh_set"),
+    )
 
 
 def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -347,6 +361,21 @@ def minhash_lsh_pairs(
     # with array_intersect — no shuffle of any per-shingle table exists
     # anywhere in this pipeline (sets are bounded by doc length; the
     # per-pair intersect runs JVM-side, no Python).
+    #
+    # NEGATIVE RESULT (r7, measured): rebuilding the shingle sets only
+    # for candidate docs (semi-join docs against the candidate id set
+    # before pa/pb) LOSES both ways it can plan. Left to AQE the
+    # semi-join ran as a SortMergeJoin that shuffled + sorted the full
+    # doc-TEXT table by doc_id (interleaved A/B at 100k amplified docs:
+    # 112.8 vs 97.8 CPU-s against); with F.broadcast(pair_ids) forced,
+    # the broadcast build re-computed the entire candidates pipeline —
+    # sig aggregate + band self-join — instead of reusing its exchange
+    # (172.7 vs 76.8 CPU-s against, ~2.2x worse). Broadcast-stage
+    # materialization does not participate in AQE shuffle-stage reuse,
+    # so the "read candidates once, prune the rebuild" shape is not
+    # expressible as one lazy query today; the full-corpus rebuild below
+    # is two embarrassingly parallel NGram passes and stays the cheapest
+    # verified formulation.
     pa = ss.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
     pb = ss.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
     return (

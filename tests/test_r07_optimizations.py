@@ -252,3 +252,109 @@ def test_tfidf_df_formulation_exact_and_reused(spark):
     qq.collect()
     plan = qq._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, "df branch no longer reuses the tf exchange"
+
+
+# --- dedup: ml.NGram shingles == zip_with reference --------------------
+
+
+def _zipwith_shingle_sets(docs, n=3):
+    """The pre-r7 interpreted-lambda shingle builder, kept as the
+    reference formulation for the compiled ml.NGram swap."""
+    words = F.split(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+    )
+    m = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    arr = F.slice(words, 1, m)
+    for j in range(1, n):
+        arr = F.zip_with(
+            arr, F.slice(words, j + 1, m), lambda x, y: F.concat(x, F.lit(" "), y)
+        )
+    return docs.select("doc_id", F.array_distinct(arr).alias("sh_set"))
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_shingles_equal_zipwith_reference(spark, n):
+    from aws_log_ingestion_spark.operators import dedup
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "one"),
+            (100003, "one two"),
+            (100004, "one two three"),
+            (100005, "  Multi   Space\tTabs  mixed CASE  "),
+            (100006, None),
+            (100007, "a b a b a"),  # repeats exercise array_distinct
+        ],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(edge)
+    ref = {r["doc_id"]: r["sh_set"] for r in _zipwith_shingle_sets(docs, n).collect()}
+    got = {r["doc_id"]: r["sh_set"] for r in dedup.shingle_sets(docs, n).collect()}
+    assert got == ref
+
+
+# --- dedup: minhash pipeline over NGram shingles == zip_with ref -------
+
+
+def test_minhash_pairs_equal_zipwith_reference(spark):
+    """End-to-end pin for the NGram shingle swap inside minhash_lsh_pairs:
+    the full pipeline (signatures, bands, candidates, exact verification)
+    over ml.NGram shingles returns exactly the pair set of the same
+    pipeline built over the zip_with reference shingles."""
+    from aws_log_ingestion_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    new = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+    n, num_hashes, bands, threshold = 3, 64, 16, 0.5
+    r = num_hashes // bands
+    ss = _zipwith_shingle_sets(docs, n).filter(F.size("sh_set") >= 1)
+    sig = dedup._sig_cols(ss, num_hashes, "xxhash64")
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"s{b * r + j}") for j in range(r)], F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", "n_sh", F.posexplode(band_arr).alias("band", "band_hash")
+    )
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    T = int(threshold * 1000)
+    cond = (
+        (F.col("x.band") == F.col("y.band"))
+        & (F.col("x.band_hash") == F.col("y.band_hash"))
+        & (F.col("x.doc_id") < F.col("y.doc_id"))
+        & (
+            F.least(F.col("x.n_sh"), F.col("y.n_sh")) * 1000
+            >= F.greatest(F.col("x.n_sh"), F.col("y.n_sh")) * F.lit(T)
+        )
+    )
+    candidates = (
+        x.join(y, cond)
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    pa = ss.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    pb = ss.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    ref = (
+        candidates.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard_x1000",
+            F.floor(
+                F.col("inter")
+                * 1000
+                / (F.size("set_a") + F.size("set_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_x1000") >= T)
+        .select("id_a", "id_b", "jaccard_x1000")
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, ref.collect()))
