@@ -258,8 +258,10 @@ def test_tfidf_df_formulation_exact_and_reused(spark):
 
 
 def _zipwith_shingle_sets(docs, n=3):
-    """The pre-r7 interpreted-lambda shingle builder, kept as the
-    reference formulation for the compiled ml.NGram swap."""
+    """Inline copy of the zip_with shingle builder — the reference
+    formulation any future shingle_sets rewrite must equal per-row
+    (the r7 ml.NGram attempt was value-equal but lost fresh-session,
+    see OPTIMIZATION_r07.md pass 7; these pins stay as the contract)."""
     words = F.split(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
     )
@@ -273,7 +275,10 @@ def _zipwith_shingle_sets(docs, n=3):
 
 
 @pytest.mark.parametrize("n", [1, 2, 3])
-def test_ngram_shingles_equal_zipwith_reference(spark, n):
+def test_shingle_sets_equal_zipwith_reference(spark, n):
+    """shingle_sets must stay per-row equal to the zip_with reference
+    (incl. NULL text -> NULL set, empty/short/multi-space docs) no
+    matter how its internals are reformulated."""
     from aws_log_ingestion_spark.operators import dedup
 
     corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
@@ -297,14 +302,14 @@ def test_ngram_shingles_equal_zipwith_reference(spark, n):
     assert got == ref
 
 
-# --- dedup: minhash pipeline over NGram shingles == zip_with ref -------
+# --- dedup: minhash pipeline == zip_with-shingle reference -------------
 
 
 def test_minhash_pairs_equal_zipwith_reference(spark):
-    """End-to-end pin for the NGram shingle swap inside minhash_lsh_pairs:
-    the full pipeline (signatures, bands, candidates, exact verification)
-    over ml.NGram shingles returns exactly the pair set of the same
-    pipeline built over the zip_with reference shingles."""
+    """End-to-end shingle-formulation pin for minhash_lsh_pairs: the
+    full pipeline (signatures, bands, candidates, exact verification)
+    must return exactly the pair set of the same pipeline built over
+    the inline zip_with reference shingles."""
     from aws_log_ingestion_spark.operators import dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
