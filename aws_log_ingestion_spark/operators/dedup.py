@@ -373,8 +373,10 @@ def minhash_lsh_pairs(
     # materialization does not participate in AQE shuffle-stage reuse,
     # so the "read candidates once, prune the rebuild" shape is not
     # expressible as one lazy query today; the full-corpus rebuild below
-    # is two embarrassingly parallel NGram passes and stays the cheapest
-    # verified formulation.
+    # stays the cheapest verified formulation — and it runs ONCE, not
+    # twice: pb reads a ReusedExchange of pa's BroadcastExchange in the
+    # AQE final plan (pass-7 audit), so verification adds exactly one
+    # embarrassingly parallel shingle pass.
     pa = ss.select(F.col("doc_id").alias("id_a"), F.col("sh_set").alias("set_a"))
     pb = ss.select(F.col("doc_id").alias("id_b"), F.col("sh_set").alias("set_b"))
     return (
